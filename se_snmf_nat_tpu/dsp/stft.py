@@ -1,0 +1,187 @@
+"""Batched STFT / iSTFT for the enhancement pipeline.
+
+TPU-first design: the reference computes one 1024-point FFT per 10 ms hop
+inside a MATLAB while-loop (bnmf_sep_event_RT_IS16.m:66-78,
+synth_ifft_buff.m:12-33).  Here all frames of an utterance are transformed in
+one batched ``jnp.fft.rfft``/``irfft`` over a (T, fftlen) array so XLA maps
+the whole spectrogram onto the chip in one shot; streaming callers can still
+pass T=1.
+
+Semantics reproduced from the reference (DFT mode, the live path):
+  * per-frame FIR pre-emphasis y[k] = x[k] - a*x[k-1] with y[0] = x[0]
+    (state NOT carried across frames — filter() restarted per frame);
+  * sqrt-periodic-Hann window, zero-pad framelength -> fftlength;
+  * magnitude ``|Y|**pow`` over bins 0..fftlen/2, phase kept separately;
+  * the lowest ``dc_bin`` bins zeroed, then ``nonzerofloor`` added
+    (engine :75-78 — note the floor is added to every processed column);
+  * synthesis: mag**(1/pow) with dc_bin_back rows zeroed, conjugate-symmetric
+    spectrum from (mag, phase), real(ifft)[:framelength], synthesis window,
+    de-emphasis IIR, scaled by overlapscale; overlap-add with hop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Framing
+# ---------------------------------------------------------------------------
+
+def stream_frames(x: np.ndarray, framelength: int, frameshift: int,
+                  n_flush: int) -> np.ndarray:
+    """Frames exactly as the reference's streaming queue produces them.
+
+    The runner shifts ``frameshift`` new samples into the tail of a
+    zero-initialized ``framelength`` queue each hop (filewise_run_IS16.m:
+    120-122), processes ``floor(len(x)/frameshift)`` data hops (the trailing
+    partial hop is dropped), then processes ``n_flush`` all-zero frames at
+    EOF (:105-113 — note the queue is fully zeroed, not shifted, during
+    flush).  Equivalent closed form: frame l (0-based) of the signal
+    zero-prepended by (framelength - frameshift) samples.
+
+    Returns (T, framelength) float64 with T = floor(len/shift) + n_flush.
+    """
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    n_hops = len(x) // frameshift
+    pad = framelength - frameshift
+    xp = np.concatenate([np.zeros(pad), x[: n_hops * frameshift]])
+    idx = np.arange(framelength)[None, :] + \
+        frameshift * np.arange(n_hops)[:, None]
+    frames = xp[idx]
+    if n_flush:
+        frames = np.concatenate(
+            [frames, np.zeros((n_flush, framelength))], axis=0)
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# Analysis
+# ---------------------------------------------------------------------------
+
+def preemphasis(frames: jnp.ndarray, coeff: float) -> jnp.ndarray:
+    """Per-frame FIR pre-emphasis (reference restarts filter state each
+    frame: bnmf_sep_event_RT_IS16.m:67, stft_fft.m:22)."""
+    if coeff == 0.0:
+        return frames
+    shifted = jnp.pad(frames[..., :-1], [(0, 0)] * (frames.ndim - 1) + [(1, 0)])
+    return frames - coeff * shifted
+
+
+def analysis_frames(frames: jnp.ndarray, win: jnp.ndarray, fftlength: int,
+                    pow_: float, dc_bin: int, nonzerofloor: float,
+                    preemph: float = 0.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(T, framelength) time frames -> (mag**pow (T, F), phase (T, F))."""
+    y = preemphasis(frames, preemph) * win[None, :]
+    spec = jnp.fft.rfft(y, n=fftlength, axis=-1)
+    phase = jnp.angle(spec)
+    mag = jnp.abs(spec) ** pow_
+    if dc_bin > 0:
+        mag = mag.at[:, :dc_bin].set(0.0)
+    mag = mag + nonzerofloor
+    return mag, phase
+
+
+# ---------------------------------------------------------------------------
+# Synthesis
+# ---------------------------------------------------------------------------
+
+def deemphasis(frames: jnp.ndarray, coeff: float) -> jnp.ndarray:
+    """Per-frame IIR de-emphasis y[k] = x[k] + a*y[k-1] (synth_ifft_buff.m:26).
+
+    Implemented as a closed-form matmul against a lower-triangular power
+    matrix when coeff != 0 (framelength is only 640, and the common configs
+    use coeff=0 so this path is rarely hot)."""
+    if coeff == 0.0:
+        return frames
+    n = frames.shape[-1]
+    k = jnp.arange(n)
+    expo = k[:, None] - k[None, :]
+    mat = jnp.where(expo >= 0, coeff ** expo.astype(frames.dtype), 0.0)
+    return frames @ mat.T
+
+
+def synthesis_frames(mag: jnp.ndarray, phase: jnp.ndarray, framelength: int,
+                     fftlength: int, win: jnp.ndarray, pow_: float,
+                     dc_bin_back: int, overlapscale: float,
+                     preemph: float = 0.0) -> jnp.ndarray:
+    """(T, F) mag**pow + phase -> (T, framelength) windowed time frames.
+
+    Matches synth_ifft_buff.m: dc rows zeroed BEFORE the pow-th root, real
+    ifft of the conjugate-symmetric spectrum truncated to framelength,
+    synthesis window, de-emphasis; times overlapscale (engine :354-363)."""
+    if dc_bin_back > 0:
+        mag = mag.at[:, :dc_bin_back].set(0.0)
+    amp = mag ** (1.0 / pow_)
+    spec = amp * jnp.exp(1j * phase)
+    y = jnp.fft.irfft(spec, n=fftlength, axis=-1)[:, :framelength]
+    y = y * win[None, :]
+    y = deemphasis(y, preemph)
+    return y * overlapscale
+
+
+def overlap_add(frames: jnp.ndarray, frameshift: int) -> jnp.ndarray:
+    """OLA of (T, framelength) frames at hop ``frameshift``.
+
+    The reference's emit queue (filewise_run_IS16.m:162-165) is standard OLA
+    with the first ``delay`` hops discarded; do that trim at the call site.
+    Implemented as a strided scatter-add reshaped to avoid serial loops:
+    frame t covers samples [t*hop, t*hop + framelength).
+    """
+    t, n = frames.shape
+    ratio = n // frameshift  # frames overlapping any sample (=4 in live cfg)
+    total = (t - 1) * frameshift + n
+    # Split each frame into `ratio` hop-sized chunks; chunk c of frame t
+    # lands at hop index t + c.  Sum over c with shifted zero-padding.
+    chunks = frames.reshape(t, ratio, frameshift)
+    out = jnp.zeros((t + ratio - 1, frameshift), frames.dtype)
+    for c in range(ratio):
+        out = out.at[c : c + t].add(chunks[:, c, :])
+    return out.reshape(-1)[:total]
+
+
+# ---------------------------------------------------------------------------
+# Offline/training STFT (stft_fft.m semantics — different framing/DC rules)
+# ---------------------------------------------------------------------------
+
+def stft_batch_train(s: np.ndarray, framelength: int, frameshift: int,
+                     fftlength: int, dc_bin: int, win: np.ndarray,
+                     preemph: float) -> tuple[np.ndarray, np.ndarray]:
+    """Training-path STFT matching stft_fft.m exactly (NumPy, float64).
+
+    Differences vs the streaming analysis: frames start at sample 0 with no
+    zero-prepend; iteration stops while start < len(s) - fftlength (tail
+    truncation, stft_fft.m:21); magnitude is |Y| (pre-pow); DC bins are set
+    to 1e-6 (not zeroed+floored); output allocated for floor(len/shift)
+    frames so unproduced trailing columns remain all-zero (callers drop them
+    via any(TF_mag,1) — run_basis_train.m:61).
+    """
+    s = np.asarray(s, dtype=np.float64).reshape(-1)
+    n_alloc = len(s) // frameshift
+    n_bins = fftlength // 2 + 1
+    mag = np.zeros((n_bins, n_alloc))
+    phase = np.zeros((n_bins, n_alloc))
+    starts = []
+    pos = 0
+    # MATLAB: while size_crnt < length(s) - fftlen with 1-based size_crnt,
+    # i.e. 0-based start < len - fftlen - 1.
+    while pos < len(s) - fftlength - 1:
+        starts.append(pos)
+        pos += frameshift
+    if starts:
+        idx = np.asarray(starts)[:, None] + np.arange(framelength)[None, :]
+        frames = s[idx]
+        if preemph != 0.0:
+            shifted = np.concatenate(
+                [np.zeros((len(starts), 1)), frames[:, :-1]], axis=1)
+            frames = frames - preemph * shifted
+        frames = frames * win[None, :]
+        spec = np.fft.rfft(frames, n=fftlength, axis=1)
+        m = np.abs(spec)
+        ph = np.angle(spec)
+        m[:, :dc_bin] = 1e-6
+        mag[:, : len(starts)] = m.T
+        phase[:, : len(starts)] = ph.T
+    return mag, phase

@@ -1,0 +1,277 @@
+"""Beta-divergence sparse-NMF multiplicative-update solvers (JAX).
+
+TPU-native re-design of the reference solver family (src/sparse_nmf.m — the
+Le Roux/Hershey/Weninger TR2015-023 formulation with L1 sparsity on H and
+updates in L2-normalized basis space; also covers the roles of
+src/sparse_nmf_GPU.m).  Three entry points:
+
+* ``snmf_solve``           — one factorization (training, online adaptation).
+                             Data-dependent early stopping runs inside a
+                             ``lax.while_loop`` so the whole solve jits.
+* ``snmf_h_solve_columns`` — activation-only solve where every column of V is
+                             treated as an INDEPENDENT problem with its own
+                             convergence test.  With fixed W the KL/ED/beta
+                             H-update decouples per column, so this is
+                             numerically identical to the reference's
+                             per-frame m=1 solves (engine :140-154) while
+                             batching thousands of frames into MXU-sized
+                             GEMMs.
+* masked updates           — the reference packs sub-dictionaries by deleting
+                             columns (dynamic shapes,
+                             bnmf_sep_event_RT_IS16.m:292,302-304,322-325).
+                             Here selection masks zero out excluded columns'
+                             basis vectors and activation rows instead; the
+                             excluded columns contribute exactly zero to
+                             W@H and to every sum the updates use, so the
+                             fixed-shape masked solve reproduces the packed
+                             solve bit-for-bit in exact arithmetic.
+
+Update-rule shapes (beta=1/KL shown; m×n data V, m×r basis W, r×n acts H):
+    H:  H <- H .* (Wᵀ(V/Λ)) ./ (1ᵀW + sparsity)
+    W:  W <- W .* [(V/Λ)Hᵀ + (1ᵀ(WᵀW diag-free…))] — tangent-space corrected
+        so columns stay on the unit sphere, then re-normalized.
+Λ = max(WH, flr) throughout; cost = beta-divergence + Σ sparsity.*H.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+FLR = 1e-9
+
+
+@dataclasses.dataclass(frozen=True)
+class SnmfParams:
+    beta: float = 1.0          # 0: IS, 1: KL, 2: ED, else general
+    sparsity: float = 5.0
+    max_iter: int = 100
+    conv_eps: float = 1e-3     # 0 disables early stopping
+    flr: float = FLR
+    precision: str = "highest"  # matmul precision for the MU GEMMs
+
+    @property
+    def lax_precision(self):
+        return {
+            "highest": lax.Precision.HIGHEST,
+            "high": lax.Precision.HIGH,
+            "default": lax.Precision.DEFAULT,
+        }[self.precision]
+
+
+def normalize_columns(w: jnp.ndarray, flr_guard: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """L2-normalize columns; zero columns (masked-out slots) stay zero."""
+    wn = jnp.sqrt(jnp.sum(w * w, axis=0))
+    safe = jnp.where(wn > 0.0, wn, 1.0) if flr_guard else wn
+    return w / safe[None, :], wn
+
+
+def _dot(a, b, prec):
+    return jnp.matmul(a, b, precision=prec)
+
+
+def _divergence(v, lamb, beta: float):
+    if beta == 1.0:
+        return jnp.sum(v * jnp.log(v / lamb) - v + lamb)
+    if beta == 2.0:
+        return jnp.sum((v - lamb) ** 2)
+    if beta == 0.0:
+        return jnp.sum(v / lamb - jnp.log(v / lamb) - 1.0)
+    return jnp.sum(
+        v ** beta + (beta - 1.0) * lamb ** beta
+        - beta * v * lamb ** (beta - 1.0)
+    ) / (beta * (beta - 1.0))
+
+
+def _h_step(v, w, h, lamb, sparsity, beta: float, flr, h_mask, prec):
+    """One multiplicative H update restricted to h_mask rows."""
+    wm = w * h_mask[None, :]          # only masked columns drive the update
+    if beta == 1.0:
+        dph = jnp.sum(wm, axis=0)[:, None] + sparsity
+        dph = jnp.maximum(dph, flr)
+        dmh = _dot(wm.T, v / lamb, prec)
+    elif beta == 2.0:
+        dph = _dot(wm.T, lamb, prec) + sparsity
+        dph = jnp.maximum(dph, flr)
+        dmh = _dot(wm.T, v, prec)
+    else:
+        dph = _dot(wm.T, lamb ** (beta - 1.0), prec) + sparsity
+        dph = jnp.maximum(dph, flr)
+        dmh = _dot(wm.T, v * lamb ** (beta - 2.0), prec)
+    h_new = h * dmh / dph
+    return jnp.where(h_mask[:, None], h_new, h)
+
+
+def _w_step(v, w, h, lamb, beta: float, flr, w_mask, prec):
+    """One multiplicative W update (tangent-space corrected, unit columns)
+    restricted to w_mask columns.  h rows outside w_mask are excluded from
+    every sum, matching the reference's h(w_ind,:) sub-selection."""
+    hm = h * w_mask[:, None]
+    sumh = jnp.sum(hm, axis=1)        # (r,)
+    if beta == 1.0:
+        c = _dot(v / lamb, hm.T, prec)             # (m, r)
+        corr_p = jnp.sum(c * w, axis=0)            # (r,)
+        dpw = sumh[None, :] + corr_p[None, :] * w
+        dpw = jnp.maximum(dpw, flr)
+        corr_m = sumh * jnp.sum(w, axis=0)
+        dmw = c + corr_m[None, :] * w
+    elif beta == 2.0:
+        lh = _dot(lamb, hm.T, prec)
+        vh = _dot(v, hm.T, prec)
+        dpw = lh + jnp.sum(vh * w, axis=0)[None, :] * w
+        dpw = jnp.maximum(dpw, flr)
+        dmw = vh + jnp.sum(lh * w, axis=0)[None, :] * w
+    else:
+        lb1 = lamb ** (beta - 1.0)
+        vb2 = v * lamb ** (beta - 2.0)
+        lh = _dot(lb1, hm.T, prec)
+        vh = _dot(vb2, hm.T, prec)
+        dpw = lh + jnp.sum(vh * w, axis=0)[None, :] * w
+        dpw = jnp.maximum(dpw, flr)
+        dmw = vh + jnp.sum(lh * w, axis=0)[None, :] * w
+    w_new = w * dmw / dpw
+    w_new = jnp.where(w_mask[None, :], w_new, w)
+    w_new, _ = normalize_columns(w_new)
+    return w_new
+
+
+class SnmfResult(NamedTuple):
+    w: jnp.ndarray
+    h: jnp.ndarray
+    iters: jnp.ndarray   # iterations actually run (scalar int32)
+    div: jnp.ndarray     # final divergence
+    cost: jnp.ndarray    # final cost (div + sparsity penalty)
+
+
+@partial(jax.jit, static_argnames=("params", "update_w", "update_h"))
+def snmf_solve(v: jnp.ndarray, w0: jnp.ndarray, h0: jnp.ndarray,
+               w_mask: jnp.ndarray, h_mask: jnp.ndarray,
+               params: SnmfParams, update_w: bool = True,
+               update_h: bool = True) -> SnmfResult:
+    """Full sparse-NMF solve with reference-equivalent semantics.
+
+    v: (m, n) nonnegative data;  w0: (m, r);  h0: (r, n).
+    w_mask / h_mask: (r,) bool — which columns/rows update (the reference's
+    w_update_ind / h_update_ind).  update_w/update_h are the static switches
+    (sum(ind) > 0 in the reference); pass False to skip a phase entirely.
+
+    Entry behavior matches sparse_nmf.m:157-169: v floored at flr, W columns
+    L2-normalized with H rescaled by the norms, Λ floored.
+    """
+    prec = params.lax_precision
+    flr = jnp.asarray(params.flr, v.dtype)
+    sparsity = jnp.asarray(params.sparsity, v.dtype)
+    beta = params.beta
+
+    v = jnp.maximum(v, flr)
+    w, wn = normalize_columns(w0)
+    h = h0 * wn[:, None]
+    lamb = jnp.maximum(_dot(w, h, prec), flr)
+
+    def cost_of(v, lamb, h):
+        div = _divergence(v, lamb, beta)
+        return div, div + jnp.sum(sparsity * h)
+
+    def body(carry):
+        it, w, h, lamb, last_cost, _ = carry
+        if update_h:
+            h = _h_step(v, w, h, lamb, sparsity, beta, flr, h_mask, prec)
+            lamb = jnp.maximum(_dot(w, h, prec), flr)
+        if update_w:
+            w = _w_step(v, w, h, lamb, beta, flr, w_mask, prec)
+            lamb = jnp.maximum(_dot(w, h, prec), flr)
+        div, cost = cost_of(v, lamb, h)
+        rel = jnp.abs(cost - last_cost) / jnp.abs(last_cost)
+        done = jnp.logical_and(it > 0, rel < params.conv_eps) \
+            if params.conv_eps > 0 else jnp.asarray(False)
+        return it + 1, w, h, lamb, cost, done
+
+    def cond(carry):
+        it, *_, done = carry
+        return jnp.logical_and(it < params.max_iter, jnp.logical_not(done))
+
+    init = (jnp.asarray(0, jnp.int32), w, h, lamb,
+            jnp.asarray(jnp.inf, v.dtype), jnp.asarray(False))
+    it, w, h, lamb, cost, _ = lax.while_loop(cond, body, init)
+    div = _divergence(v, lamb, beta)
+    return SnmfResult(w=w, h=h, iters=it, div=div, cost=cost)
+
+
+@partial(jax.jit, static_argnames=("params", "h_mask_static"))
+def snmf_h_solve_columns(v: jnp.ndarray, w: jnp.ndarray, h0: jnp.ndarray,
+                         params: SnmfParams,
+                         h_mask_static: bool = True) -> SnmfResult:
+    """Activation solve treating every column as an independent problem.
+
+    Reproduces N separate ``sparse_nmf(v[:, j:j+1], p)`` H-only calls (the
+    per-frame solves of the streaming engine) in ONE batched loop: each
+    column carries its own cost/convergence state and freezes when its own
+    relative-cost criterion fires, so iteration counts — and therefore
+    results — match the sequential reference exactly.
+
+    v: (m, n);  w: (m, r) — used as given after column normalization;
+    h0: (r, n) initial activations (pre-rescale, as MATLAB rand init).
+    """
+    del h_mask_static
+    prec = params.lax_precision
+    flr = jnp.asarray(params.flr, v.dtype)
+    sparsity = jnp.asarray(params.sparsity, v.dtype)
+    beta = params.beta
+
+    v = jnp.maximum(v, flr)
+    w, wn = normalize_columns(w)
+    h = h0 * wn[:, None]
+    lamb = jnp.maximum(_dot(w, h, prec), flr)
+    n = v.shape[1]
+
+    if beta == 1.0:
+        dph_base = jnp.sum(w, axis=0)[:, None] + sparsity  # constant for KL
+        dph_base = jnp.maximum(dph_base, flr)
+
+    def col_cost(lamb, h):
+        div = (
+            jnp.sum(v * jnp.log(v / lamb) - v + lamb, axis=0)
+            if beta == 1.0 else
+            jnp.sum((v - lamb) ** 2, axis=0) if beta == 2.0 else
+            jnp.sum(v / lamb - jnp.log(v / lamb) - 1.0, axis=0) if beta == 0.0
+            else jnp.sum(v ** beta + (beta - 1.0) * lamb ** beta
+                         - beta * v * lamb ** (beta - 1.0), axis=0)
+            / (beta * (beta - 1.0))
+        )
+        return div, div + jnp.sum(sparsity * h, axis=0)
+
+    def body(carry):
+        it, h, lamb, last_cost, active = carry
+        if beta == 1.0:
+            dmh = _dot(w.T, v / lamb, prec)
+            h_new = h * dmh / dph_base
+        elif beta == 2.0:
+            dph = jnp.maximum(_dot(w.T, lamb, prec) + sparsity, flr)
+            h_new = h * _dot(w.T, v, prec) / dph
+        else:
+            dph = jnp.maximum(
+                _dot(w.T, lamb ** (beta - 1.0), prec) + sparsity, flr)
+            h_new = h * _dot(w.T, v * lamb ** (beta - 2.0), prec) / dph
+        h = jnp.where(active[None, :], h_new, h)
+        lamb = jnp.maximum(_dot(w, h, prec), flr)
+        div, cost = col_cost(lamb, h)
+        rel = jnp.abs(cost - last_cost) / jnp.abs(last_cost)
+        if params.conv_eps > 0:
+            newly_done = jnp.logical_and(it > 0, rel < params.conv_eps)
+            active = jnp.logical_and(active, jnp.logical_not(newly_done))
+        return it + 1, h, lamb, cost, active
+
+    def cond(carry):
+        it, _, _, _, active = carry
+        return jnp.logical_and(it < params.max_iter, jnp.any(active))
+
+    init = (jnp.asarray(0, jnp.int32), h, lamb,
+            jnp.full((n,), jnp.inf, v.dtype), jnp.ones((n,), bool))
+    it, h, lamb, cost, _ = lax.while_loop(cond, body, init)
+    div = _divergence(v, lamb, beta)
+    return SnmfResult(w=w, h=h, iters=it, div=div, cost=jnp.sum(cost))

@@ -1,0 +1,128 @@
+"""DSP layer: window identities, STFT/iSTFT round trip, framing semantics,
+mel filterbank parity, splicing, DD smoothing."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from se_snmf_nat_tpu.config import default_config
+from se_snmf_nat_tpu.dsp.windows import sqrt_hann_periodic, hann_periodic
+from se_snmf_nat_tpu.dsp.stft import (
+    stream_frames, analysis_frames, synthesis_frames, overlap_add,
+    stft_batch_train,
+)
+from se_snmf_nat_tpu.dsp.mel import mel_matrix
+from se_snmf_nat_tpu.dsp.splice import frame_splice
+from se_snmf_nat_tpu.dsp.smoothing import tf_dd, tf_dd_jax
+
+CFG = default_config()
+S = CFG.signal
+
+
+def test_sqrt_hann_ola_identity():
+    """sqrt-hann analysis+synthesis at 75% overlap with overlapscale=0.5 is
+    a perfect-reconstruction pair: sum_k w^2(n-kH)*scale == 1."""
+    w2 = hann_periodic(S.framelength)
+    acc = np.zeros(S.framelength * 3)
+    for k in range(0, len(acc) - S.framelength + 1, S.frameshift):
+        acc[k:k + S.framelength] += w2
+    mid = acc[S.framelength:-S.framelength] * S.overlapscale
+    assert np.allclose(mid, 1.0, atol=1e-12)
+
+
+def test_stream_frames_matches_queue_semantics():
+    x = np.arange(1000, dtype=np.float64)
+    frames = stream_frames(x, S.framelength, S.frameshift, n_flush=4)
+    n_hops = len(x) // S.frameshift  # 6
+    assert frames.shape == (n_hops + 4, S.framelength)
+    # Simulate the reference queue
+    q = np.zeros(S.framelength)
+    for l in range(n_hops):
+        q = np.concatenate([q[S.frameshift:],
+                            x[l * S.frameshift:(l + 1) * S.frameshift]])
+        assert np.array_equal(frames[l], q)
+    assert np.all(frames[n_hops:] == 0.0)
+
+
+def test_stft_istft_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(16000) * 1000
+    win = sqrt_hann_periodic(S.framelength)
+    frames = stream_frames(x, S.framelength, S.frameshift, n_flush=4)
+    mag, phase = analysis_frames(jnp.asarray(frames), jnp.asarray(win),
+                                 S.fftlength, S.pow, dc_bin=0,
+                                 nonzerofloor=0.0)
+    out_frames = synthesis_frames(mag, phase, S.framelength, S.fftlength,
+                                  jnp.asarray(win), S.pow, dc_bin_back=0,
+                                  overlapscale=S.overlapscale)
+    y = np.asarray(overlap_add(out_frames, S.frameshift))
+    # reconstructed signal is the input delayed by the queue prepad
+    pad = S.framelength - S.frameshift
+    n = len(x) // S.frameshift * S.frameshift
+    rec = y[pad: pad + n - pad]
+    np.testing.assert_allclose(rec, x[: n - pad], rtol=0, atol=1e-6)
+
+
+def test_analysis_dc_zeroing_and_floor():
+    frames = np.ones((3, S.framelength))
+    win = sqrt_hann_periodic(S.framelength)
+    mag, _ = analysis_frames(jnp.asarray(frames), jnp.asarray(win),
+                             S.fftlength, 2.0, dc_bin=5, nonzerofloor=1e-9)
+    mag = np.asarray(mag)
+    assert np.allclose(mag[:, :5], 1e-9)
+    assert np.all(mag[:, 5:] >= 1e-9)
+
+
+def test_overlap_add_matches_naive():
+    rng = np.random.default_rng(1)
+    frames = rng.standard_normal((7, S.framelength))
+    got = np.asarray(overlap_add(jnp.asarray(frames), S.frameshift))
+    want = np.zeros(6 * S.frameshift + S.framelength)
+    for t in range(7):
+        want[t * S.frameshift: t * S.frameshift + S.framelength] += frames[t]
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_stft_batch_train_frame_count():
+    # MATLAB loop: while (1-based) start < len - fftlen
+    x = np.zeros(10000)
+    mag, _ = stft_batch_train(x, S.framelength, S.frameshift, S.fftlength,
+                              5, sqrt_hann_periodic(S.framelength), 0.0)
+    assert mag.shape[0] == S.n_bins
+    # produced frames: starts 0,160,... < 10000-1024-1 → ceil(8975/160)=57
+    produced = int(np.ceil((10000 - S.fftlength - 1) / S.frameshift))
+    assert mag.shape[1] == len(x) // S.frameshift  # allocation
+    assert np.all(mag[:, produced:] == 0)          # unproduced stay zero
+    assert np.all(mag[:5, :produced] == 1e-6)      # DC rows
+
+
+def test_mel_matrix_shape_and_partition():
+    m = mel_matrix(S.fs, 64, S.fftlength)
+    assert m.shape == (S.n_bins, 64)
+    assert np.all(m >= 0) and np.all(m <= 1)
+    # each filter has a peak of 1 and triangular support
+    assert np.allclose(m.max(axis=0), 1.0)
+    # interior bins are covered by at least one filter
+    covered = (m.sum(axis=1) > 0)
+    assert covered[10:500].all()
+
+
+def test_frame_splice_identity_and_context():
+    feat = np.arange(12, dtype=float).reshape(3, 4)
+    assert frame_splice(feat, 0) is feat
+    sp = frame_splice(feat, 1)
+    assert sp.shape == (9, 4)
+    # center block is the original
+    np.testing.assert_array_equal(sp[3:6], feat)
+    # leading block at t=0 is zero (no left context)
+    assert np.all(sp[0:3, 0] == 0)
+    np.testing.assert_array_equal(sp[0:3, 1:], feat[:, :3])
+
+
+def test_tf_dd_numpy_vs_jax():
+    rng = np.random.default_rng(2)
+    x = rng.random((5, 30))
+    a = 0.4
+    want = tf_dd(x, a)
+    got = np.asarray(tf_dd_jax(jnp.asarray(x.T), a)).T
+    np.testing.assert_allclose(got, want, rtol=1e-12)
