@@ -1,0 +1,71 @@
+"""Headline benchmark: audio-seconds/s/chip for the full adaptive
+SNMF-NAT enhancement pipeline (north-star CHiME config) on real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the driver target of 100x real-time per
+chip (BASELINE.md; the reference itself is a ~1x real-time CPU design, so
+vs_baseline = 1.0 == 100x the reference's real-time budget).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from se_snmf_nat_tpu.config import default_config
+    from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
+    from se_snmf_nat_tpu.io.wavio import read_wav_int16
+    from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+
+    cfg = default_config()
+    speech, noise = load_reference_speech_noise(cfg.sep.r_d)
+    x, fs = read_wav_int16("/root/reference/wav/M03_423C0213_STR.CH6.wav")
+
+    enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                       noise.b_dft, dtype=jnp.float32)
+    frames = enh.frames_for(x)
+
+    batch_size = 16
+    batch = jnp.asarray(np.stack([frames] * batch_size), jnp.float32)
+    states = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (batch_size,) + a.shape),
+        enh.initial_state())
+
+    # compile + warmup
+    ys, _ = enh._run_batch(batch, states)
+    jax.block_until_ready(ys)
+
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        ys, _ = enh._run_batch(batch, states)
+    jax.block_until_ready(ys)
+    elapsed = (time.perf_counter() - t0) / n_rep
+
+    audio_seconds = batch_size * len(x) / fs
+    value = audio_seconds / elapsed
+    n_chips = max(len(jax.devices()), 1)
+    value_per_chip = value / n_chips
+
+    print(json.dumps({
+        "metric": "audio_seconds_per_s_per_chip",
+        "value": round(value_per_chip, 2),
+        "unit": "audio-s/s/chip (adaptive SNMF-NAT enhancement, f32, B=16)",
+        "vs_baseline": round(value_per_chip / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Offline / batched enhancement pipelines.
+
+Replaces the reference's streaming runners (filewise_run_IS16.m,
+src/NTF_sep_event_RT.m) with a TPU execution plan:
+
+  host:   int16 wav -> zero-prepadded frame matrix      (io/, dsp/)
+  device: batched STFT -> lax.scan(frame engine) -> batched iSTFT -> OLA
+  host:   delay trim -> MATLAB-exact int16 quantization
+
+Utterances batch with vmap over (state, frames); right-padding with zero
+frames is safe because the scan is causal — outputs for real frames never
+see padding, and per-utterance emitted lengths are sliced on the host.
+
+Cross-utterance noise-dictionary persistence (the reference's B_D_u.mat
+load/save, NTF_sep_event_RT.m:28-38,136-139) is the ``carry_state`` option:
+the final EngineState of one utterance seeds the next.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from se_snmf_nat_tpu.config import PipelineConfig, default_config
+from se_snmf_nat_tpu.dsp.stft import (
+    analysis_frames, overlap_add, stream_frames, synthesis_frames)
+from se_snmf_nat_tpu.dsp.windows import sqrt_hann_periodic
+from se_snmf_nat_tpu.enhance.engine import make_engine
+from se_snmf_nat_tpu.io.wavio import enhanced_quantize
+
+
+class SnmfEnhancer:
+    """Builds jitted single-utterance and batched enhancement functions."""
+
+    def __init__(self, cfg: PipelineConfig | None, b1_x, b1_d, b2_x, b2_d,
+                 dtype=jnp.float32, matlab_ad_blk_init: bool = True):
+        self.cfg = cfg or default_config()
+        s = self.cfg.signal
+        self.dtype = dtype
+        self.engine = make_engine(self.cfg, b1_x, b1_d, b2_x, b2_d, dtype)
+        self.win = jnp.asarray(sqrt_hann_periodic(s.framelength), dtype)
+        self._state0 = self.engine.init_state(dtype, matlab_ad_blk_init)
+
+        @jax.jit
+        def run(frames, state0):
+            mag, phase = analysis_frames(
+                frames, self.win, s.fftlength, s.pow, s.dc_bin,
+                s.nonzerofloor, s.preemph)
+            t = mag.shape[0]
+            ls = jnp.arange(1, t + 1, dtype=jnp.int32)
+            state, xm_tilde = jax.lax.scan(self.engine.step, state0, (mag, ls))
+            out_frames = synthesis_frames(
+                xm_tilde, phase, s.framelength, s.fftlength, self.win, s.pow,
+                s.dc_bin_back, s.overlapscale, s.preemph)
+            y = overlap_add(out_frames, s.frameshift)
+            return y, state
+
+        self._run = run
+        self._run_batch = jax.jit(jax.vmap(run, in_axes=(0, 0)))
+
+    # ------------------------------------------------------------------
+    def frames_for(self, x: np.ndarray) -> np.ndarray:
+        s = self.cfg.signal
+        return stream_frames(x, s.framelength, s.frameshift,
+                             n_flush=self.cfg.delay + 1)
+
+    def initial_state(self):
+        return self._state0
+
+    def enhance(self, x: np.ndarray, state=None, return_state: bool = False,
+                quantize: bool = True):
+        """Enhance one utterance of int16-scale samples."""
+        s = self.cfg.signal
+        frames = jnp.asarray(self.frames_for(x), self.dtype)
+        y, state_out = self._run(frames, state if state is not None
+                                 else self._state0)
+        t = frames.shape[0]
+        start = self.cfg.delay * s.frameshift
+        emit = np.asarray(y[start: start + (t - self.cfg.delay) * s.frameshift])
+        out = enhanced_quantize(emit) if quantize else emit
+        return (out, state_out) if return_state else out
+
+    def enhance_batch(self, xs: list[np.ndarray], quantize: bool = True):
+        """Enhance a batch of utterances (padded to the longest)."""
+        s = self.cfg.signal
+        frame_list = [self.frames_for(x) for x in xs]
+        t_max = max(f.shape[0] for f in frame_list)
+        frames = np.zeros((len(xs), t_max, s.framelength), np.float64)
+        for i, f in enumerate(frame_list):
+            frames[i, : f.shape[0]] = f
+        states = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (len(xs),) + a.shape), self._state0)
+        ys, _ = self._run_batch(jnp.asarray(frames, self.dtype), states)
+        ys = np.asarray(ys)
+        outs = []
+        start = self.cfg.delay * s.frameshift
+        for i, f in enumerate(frame_list):
+            emit = ys[i, start: start + (f.shape[0] - self.cfg.delay)
+                      * s.frameshift]
+            outs.append(enhanced_quantize(emit) if quantize else emit)
+        return outs

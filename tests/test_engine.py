@@ -1,0 +1,148 @@
+"""JAX frame engine + pipeline vs the float64 oracle.
+
+The gold standard: in float64 the whole JAX pipeline (STFT -> scan(engine)
+-> iSTFT -> OLA -> quantize) must reproduce the oracle bit-exactly after
+int16 quantization.  (In float32, the adaptive config is chaotic — binary
+adaptation gates amplify last-ulp noise — so production accuracy is gated
+on the deterministic sub-paths and on x64 equivalence here.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from se_snmf_nat_tpu.config import default_config, preset
+from se_snmf_nat_tpu.enhance.blk_sparse import block_sparsity_q
+from se_snmf_nat_tpu.oracle.engine_np import blk_sparse_np
+from se_snmf_nat_tpu.oracle.runner_np import enhance_samples_oracle
+from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+
+
+@pytest.fixture(scope="module")
+def short_clip(m03_wav):
+    x, fs = m03_wav
+    return x[:12000]  # 0.75 s → ~79 frames (covers init + adaptation + blk)
+
+
+def _enhancer(cfg, bases, dtype):
+    speech, noise = bases
+    if cfg.sep.b_sep_mode == "Mel":
+        b1_x, b1_d = speech.b_mel, noise.b_mel
+    else:
+        b1_x, b1_d = speech.b_dft, noise.b_dft
+    return SnmfEnhancer(cfg, b1_x, b1_d, speech.b_dft, noise.b_dft,
+                        dtype=dtype)
+
+
+def _oracle(cfg, bases, x, **kw):
+    speech, noise = bases
+    if cfg.sep.b_sep_mode == "Mel":
+        b1_x, b1_d = speech.b_mel, noise.b_mel
+    else:
+        b1_x, b1_d = speech.b_dft, noise.b_dft
+    return enhance_samples_oracle(x, cfg, b1_x, b1_d, speech.b_dft,
+                                  noise.b_dft, **kw)
+
+
+def test_blk_sparse_matches_oracle():
+    cfg = default_config()
+    rng = np.random.default_rng(0)
+    f = cfg.signal.n_bins
+    r_blk = rng.random((f, cfg.blk.p_len_l))
+    x = rng.random(f) + 0.01
+    d = rng.random(f) + 0.01
+    for l in (5, 30):  # below and above the P_len_l warmup
+        q_ref, r_ref = blk_sparse_np(x[:, None], d[:, None], r_blk, l, cfg)
+        q, r_new = block_sparsity_q(
+            jnp.asarray(x), jnp.asarray(d), jnp.asarray(r_blk),
+            jnp.asarray(l), n_bins=f, p_len_k=cfg.blk.p_len_k,
+            p_len_l=cfg.blk.p_len_l, dc_bin=cfg.signal.dc_bin,
+            gap=cfg.blk.blk_gap, alpha_p=cfg.blk.alpha_p, nonzerofloor=1e-9)
+        np.testing.assert_allclose(np.asarray(q), q_ref[:, 0], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(r_new), r_ref, atol=1e-15)
+
+
+def test_blk_sparse_gap1_recurrence():
+    """gap=1 exercises the true DD recurrence path."""
+    from dataclasses import replace
+    cfg = default_config()
+    cfg = cfg.evolve(blk=replace(cfg.blk, blk_gap=1))
+    rng = np.random.default_rng(1)
+    f = cfg.signal.n_bins
+    r_blk = rng.random((f, cfg.blk.p_len_l))
+    x, d = rng.random(f) + 0.01, rng.random(f) + 0.01
+    q_ref, _ = blk_sparse_np(x[:, None], d[:, None], r_blk, 30, cfg)
+    q, _ = block_sparsity_q(
+        jnp.asarray(x), jnp.asarray(d), jnp.asarray(r_blk), jnp.asarray(30),
+        n_bins=f, p_len_k=cfg.blk.p_len_k, p_len_l=cfg.blk.p_len_l,
+        dc_bin=cfg.signal.dc_bin, gap=1, alpha_p=cfg.blk.alpha_p,
+        nonzerofloor=1e-9)
+    np.testing.assert_allclose(np.asarray(q), q_ref[:, 0], atol=1e-12)
+
+
+@pytest.mark.slow
+def test_pipeline_x64_bitexact_vs_oracle(reference_bases, short_clip):
+    cfg = default_config()
+    want = _oracle(cfg, reference_bases, short_clip)
+    got = _enhancer(cfg, reference_bases, jnp.float64).enhance(short_clip)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_pipeline_wiener_noadapt_preset(reference_bases, short_clip):
+    """SNMF baseline preset (fixed basis, Wiener, no adaptation, preemph)."""
+    cfg = preset("snmf")
+    want = _oracle(cfg, reference_bases, short_clip)
+    got = _enhancer(cfg, reference_bases, jnp.float64).enhance(short_clip)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_pipeline_semisupervised_preset(reference_bases, short_clip):
+    """Co-updating the noise basis during the H-solve (discarded W)."""
+    cfg = preset("semisupervised")
+    bases = reference_bases
+    # r_d=50 in this preset: narrow the noise basis like the loader would
+    speech, noise = bases
+    from se_snmf_nat_tpu.io.basis import BasisPair
+    noise50 = BasisPair(noise.b_dft[:, :50], noise.b_mel[:, :50])
+    want = enhance_samples_oracle(short_clip, cfg, speech.b_dft,
+                                  noise50.b_dft, speech.b_dft, noise50.b_dft)
+    enh = SnmfEnhancer(cfg, speech.b_dft, noise50.b_dft, speech.b_dft,
+                       noise50.b_dft, dtype=jnp.float64)
+    got = enh.enhance(short_clip)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_pipeline_mel_mode(reference_bases, short_clip):
+    from dataclasses import replace
+    cfg = default_config()
+    cfg = cfg.evolve(sep=replace(cfg.sep, b_sep_mode="Mel"))
+    want = _oracle(cfg, reference_bases, short_clip)
+    got = _enhancer(cfg, reference_bases, jnp.float64).enhance(short_clip)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_batch_matches_single(reference_bases, short_clip):
+    cfg = default_config()
+    enh = _enhancer(cfg, reference_bases, jnp.float64)
+    a = short_clip
+    b = short_clip[:8000]
+    outs = enh.enhance_batch([a, b])
+    np.testing.assert_array_equal(outs[0], enh.enhance(a))
+    np.testing.assert_array_equal(outs[1], enh.enhance(b))
+
+
+@pytest.mark.slow
+def test_state_carry_across_utterances(reference_bases, short_clip):
+    """B_D_u.mat-style persistence: chaining state changes the second
+    utterance's output (the adapted dictionary carries over)."""
+    cfg = default_config()
+    enh = _enhancer(cfg, reference_bases, jnp.float64)
+    out1, st = enh.enhance(short_clip, return_state=True)
+    out2_chained = enh.enhance(short_clip, state=st)
+    out2_fresh = enh.enhance(short_clip)
+    assert not np.array_equal(out2_chained, out2_fresh)
