@@ -43,14 +43,23 @@ class MatlabV4Rand:
         """rand(m) / rand(m, n) with MATLAB column-major fill order."""
         if n is None:
             n = m
-        count = m * n
-        out = np.empty(count, dtype=np.float64)
-        s = self._state
-        for i in range(count):
-            s = (_A * s) % _M31
-            out[i] = s / _M31
-        self._state = s
-        return out.reshape((n, m)).T  # column-major fill
+        return self._draw(m * n).reshape((n, m)).T  # column-major fill
+
+    def _draw(self, count: int) -> np.ndarray:
+        """Vectorized: draw k is a^k * s0 mod M31.  The powers table doubles
+        in log2(count) numpy ops; products stay < 2^62 in uint64."""
+        if count == 0:
+            return np.empty(0, dtype=np.float64)
+        mod = np.uint64(_M31)
+        pows = np.ones(1, dtype=np.uint64)
+        while len(pows) < count:
+            step = np.uint64(pow(_A, len(pows), _M31))
+            pows = np.concatenate([pows, (pows * step) % mod])
+        pows = pows[:count]
+        first = np.uint64((_A * self._state) % _M31)
+        vals = (pows * first) % mod
+        self._state = int(vals[-1])
+        return vals.astype(np.float64) / _M31
 
 
 def matlab_v4_rand_matrix(m: int, n: int, seed: int = 1) -> np.ndarray:
