@@ -12,6 +12,7 @@ wavs without a MATLAB installation.
 from se_snmf_nat_tpu.oracle.sparse_nmf_np import sparse_nmf_np
 from se_snmf_nat_tpu.oracle.engine_np import OracleEngine, init_state
 from se_snmf_nat_tpu.oracle.runner_np import enhance_file_oracle, enhance_samples_oracle
+from se_snmf_nat_tpu.oracle.imcra_np import ImcraParams, omlsa_imcra_np
 
 __all__ = [
     "sparse_nmf_np",
@@ -19,4 +20,6 @@ __all__ = [
     "init_state",
     "enhance_file_oracle",
     "enhance_samples_oracle",
+    "ImcraParams",
+    "omlsa_imcra_np",
 ]

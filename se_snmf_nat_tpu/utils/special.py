@@ -1,0 +1,61 @@
+"""Special functions needed by the enhancement gains.
+
+expint_e1: the exponential integral E1(x) (MATLAB ``expint``), used by the
+OM-LSA log-MMSE gain ``exp(0.5*expint(v))`` (proc_IMCRA.m:325,
+src/MS/ssubmmse.m:168).  JAX has no E1; this implementation is
+double-precision accurate on the domain the gains use (v in (0, ~40]):
+
+  x < 1.5 : power series  E1 = -gamma - ln x + sum (-1)^{k+1} x^k / (k k!)
+  x >= 1.5: modified-Lentz continued fraction
+            E1 = e^-x / (x+1 - 1/(x+3 - 4/(x+5 - 9/(x+7 - ...))))
+
+Both branches run under jit (fixed iteration counts) and are blended with
+``where`` — no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EULER_GAMMA = 0.5772156649015328606
+
+
+def expint_e1(x: jnp.ndarray) -> jnp.ndarray:
+    """E1(x) for x > 0; returns +inf at 0 and garbage for x < 0."""
+    dtype = jnp.result_type(x, jnp.float32)
+    x = x.astype(dtype)
+    tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+
+    # --- series branch (safe input: clamp away from 0)
+    xs = jnp.maximum(x, tiny)
+
+    def series_body(k, carry):
+        term, s = carry
+        term = term * (-xs) / k          # (-x)^k / k!
+        return term, s - term / k
+
+    term0 = jnp.ones_like(xs)
+    _, ssum = jax.lax.fori_loop(1, 40, series_body, (term0, jnp.zeros_like(xs)))
+    series = -_EULER_GAMMA - jnp.log(xs) + ssum
+
+    # --- continued-fraction branch (safe input: clamp to >= 1)
+    xc = jnp.maximum(x, 1.0)
+    b0 = xc + 1.0
+    f = b0
+    c = b0
+    d = jnp.zeros_like(xc)
+
+    def cf_body(k, carry):
+        f, c, d = carry
+        a = -jnp.asarray(k * k, dtype)
+        b = xc + 2.0 * k + 1.0
+        d = 1.0 / (b + a * d)
+        c = b + a / c
+        return f * c * d, c, d
+
+    f, _, _ = jax.lax.fori_loop(1, 60, cf_body, (f, c, d))
+    cf = jnp.exp(-xc) / f
+
+    out = jnp.where(x < 1.5, series, cf)
+    return jnp.where(x <= 0.0, jnp.inf, out)
