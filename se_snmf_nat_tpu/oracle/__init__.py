@@ -13,6 +13,7 @@ from se_snmf_nat_tpu.oracle.sparse_nmf_np import sparse_nmf_np
 from se_snmf_nat_tpu.oracle.engine_np import OracleEngine, init_state
 from se_snmf_nat_tpu.oracle.runner_np import enhance_file_oracle, enhance_samples_oracle
 from se_snmf_nat_tpu.oracle.imcra_np import ImcraParams, omlsa_imcra_np
+from se_snmf_nat_tpu.oracle.ms_np import MsParams, ssubmmse_np, estnoisem_np
 
 __all__ = [
     "sparse_nmf_np",
@@ -22,4 +23,7 @@ __all__ = [
     "enhance_samples_oracle",
     "ImcraParams",
     "omlsa_imcra_np",
+    "MsParams",
+    "ssubmmse_np",
+    "estnoisem_np",
 ]

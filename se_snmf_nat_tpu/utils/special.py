@@ -59,3 +59,27 @@ def expint_e1(x: jnp.ndarray) -> jnp.ndarray:
 
     out = jnp.where(x < 1.5, series, cf)
     return jnp.where(x <= 0.0, jnp.inf, out)
+
+
+def bessel_i0_small(x: jnp.ndarray, terms: int = 14) -> jnp.ndarray:
+    """Modified Bessel I0 by power series — double-accurate for |x| <= ~2.
+    The amplitude-MMSE gain (src/MS/ssubmmse.m:181-184) only evaluates it
+    on v < 0.5, well inside the series radius."""
+    q = 0.25 * x * x
+    term = jnp.ones_like(x)
+    s = jnp.ones_like(x)
+    for k in range(1, terms):
+        term = term * q / (k * k)
+        s = s + term
+    return s
+
+
+def bessel_i1_small(x: jnp.ndarray, terms: int = 14) -> jnp.ndarray:
+    """Modified Bessel I1 by power series — double-accurate for |x| <= ~2."""
+    q = 0.25 * x * x
+    term = 0.5 * x
+    s = term
+    for k in range(1, terms):
+        term = term * q / (k * (k + 1))
+        s = s + term
+    return s

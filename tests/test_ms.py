@@ -1,0 +1,104 @@
+"""MS stack (MMSE/log-MMSE + minimum statistics): JAX scan vs the float64
+oracle, chunked-resume protocol, and behavioral sanity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.special import iv
+
+from se_snmf_nat_tpu.enhance.ms import MmseEnhancer
+from se_snmf_nat_tpu.oracle.ms_np import (
+    MsParams, estnoisem_np, mhvals, ms_derived, ssubmmse_np)
+from se_snmf_nat_tpu.utils.special import bessel_i0_small, bessel_i1_small
+
+
+def test_mhvals_table_and_interp():
+    # exact table hits
+    assert mhvals(20) == (0.705, 2.0)
+    # interpolated values are monotone-sensible between neighbors
+    m, h = mhvals(152)
+    assert 0.9 < m < 0.91
+    assert min(4.25, 4.35) <= h <= max(4.25, 4.35)
+
+
+def test_bessel_series_vs_scipy():
+    x = np.linspace(0, 0.5, 200)
+    np.testing.assert_allclose(
+        np.asarray(bessel_i0_small(jnp.asarray(x, jnp.float64))),
+        iv(0, x), rtol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(bessel_i1_small(jnp.asarray(x, jnp.float64))),
+        iv(1, x), rtol=1e-13, atol=1e-300)
+
+
+@pytest.fixture(scope="module")
+def clip(m03_wav):
+    x, fs = m03_wav
+    return x[: 2 * fs], fs
+
+
+@pytest.mark.slow
+def test_scan_matches_oracle_logmmse(clip):
+    x, fs = clip
+    want = ssubmmse_np(x, fs)
+    enh = MmseEnhancer(fs, dtype=jnp.float64)
+    got = enh.enhance(x, quantize=False)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_scan_matches_oracle_amplitude_mmse(clip):
+    x, fs = clip
+    p = MsParams(lg=0)
+    want = ssubmmse_np(x, fs, p)
+    got = MmseEnhancer(fs, params=p, dtype=jnp.float64).enhance(
+        x, quantize=False)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_chunked_equals_oneshot(clip):
+    """ssubmmse's documented chunk protocol: processing in arbitrary chunks
+    with state resume must equal one full call (header comment :47-57)."""
+    x, fs = clip
+    enh = MmseEnhancer(fs, dtype=jnp.float64)
+    st = None
+    pieces = []
+    for lo, hi in ((0, 1000), (1000, 11000), (11000, len(x))):
+        y, st = enh.enhance(x[lo:hi], state=st, return_state=True,
+                            quantize=False)
+        pieces.append(y)
+    chunked = np.concatenate(pieces)
+    full = enh.enhance(x, quantize=False)
+    # one-shot returns the full stream incl. tail; chunked withholds it
+    np.testing.assert_allclose(chunked, full[: len(chunked)],
+                               rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_noise_tracker_converges(clip):
+    """On stationary noise the minimum-statistics estimate lands near the
+    true noise PSD."""
+    rng = np.random.default_rng(0)
+    fs = clip[1]
+    noise = rng.standard_normal(3 * fs) * 1000.0
+    p = MsParams()
+    d = ms_derived(p, fs)
+    nf, ni = d.nf, d.ni
+    t = (len(noise) - nf + ni) // ni
+    idx = ni * np.arange(t)[:, None] + np.arange(nf)[None, :]
+    yp = np.abs(np.fft.rfft(noise[idx] * d.win, nf, axis=1)) ** 2
+    dp, _ = estnoisem_np(yp, p, d)
+    true = yp[t // 2:].mean()
+    est = dp[-1].mean()
+    assert 0.2 * true < est < 1.5 * true
+
+
+@pytest.mark.slow
+def test_enhancement_reduces_noise(clip):
+    x, fs = clip
+    out = MmseEnhancer(fs, dtype=jnp.float64).enhance(x)
+    n = min(len(out), len(x))
+    assert np.sqrt(np.mean(out[:n].astype(float) ** 2)) \
+        < np.sqrt(np.mean(x[:n] ** 2))
