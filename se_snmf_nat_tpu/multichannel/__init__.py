@@ -1,0 +1,14 @@
+"""Multichannel path: NTF channel-loading factorization and the PMWF
+spectro-temporal beamformer (reference: src/GIST_NTF_C.m, src/kr.m,
+src/PSD_cov_mat.m, src/PMWF_sep_event_RT_CHiME.m — dead in the reference
+only because settings left p.BETA/p.GAMMA undefined; the algorithms are
+fully specified and rebuilt here with working defaults, SURVEY §7.4)."""
+
+from se_snmf_nat_tpu.multichannel.ntf import khatri_rao, ntf_solve, NtfResult
+from se_snmf_nat_tpu.multichannel.pmwf import (
+    PmwfParams, PmwfEnhancer, spectro_temporal_cov, pmwf_filters)
+
+__all__ = [
+    "khatri_rao", "ntf_solve", "NtfResult",
+    "PmwfParams", "PmwfEnhancer", "spectro_temporal_cov", "pmwf_filters",
+]
