@@ -1,0 +1,299 @@
+"""Command-line entry points.
+
+Replaces the reference's top-level scripts:
+  enhance   — filewise_run_IS16.m / run_ntf_sep_RT.m / run_IMCRA.m
+  train     — run_basis_train.m
+  dnmf      — run_basis_DNMF.m / run_basis_DNMF_Mel.m
+  campaign  — Do_MultiBatch_IS16_20160324_CHiME4.m (train -> enhance grid,
+              adapted-dictionary reset per target condition :193)
+  eval      — the golden-output comparison the reference did by hand
+              (SURVEY §4); prints JSON metrics
+  bench     — the repo-root bench.py headline metric
+
+Usage: python -m se_snmf_nat_tpu <command> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _jnp_dtype(name: str):
+    import jax.numpy as jnp
+    return {"float32": jnp.float32, "float64": jnp.float64,
+            "bfloat16": jnp.bfloat16}[name]
+
+
+def _load_bases(args, cfg):
+    from se_snmf_nat_tpu.io.basis import load_basis, load_reference_speech_noise
+    if args.speech_basis and args.noise_basis:
+        speech = load_basis(args.speech_basis)
+        noise = load_basis(args.noise_basis).tiled_to_rank(cfg.sep.r_d)
+        return speech, noise
+    return load_reference_speech_noise(cfg.sep.r_d)
+
+
+def _build_enhancer(args):
+    from se_snmf_nat_tpu.config import preset
+    cfg = preset(args.preset)
+    dtype = _jnp_dtype(args.dtype)
+    algo = args.algorithm.lower()
+    if algo == "snmf":
+        from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+        speech, noise = _load_bases(args, cfg)
+        if cfg.sep.b_sep_mode == "Mel":
+            b1x, b1d = speech.b_mel, noise.b_mel
+        else:
+            b1x, b1d = speech.b_dft, noise.b_dft
+        return SnmfEnhancer(cfg, b1x, b1d, speech.b_dft, noise.b_dft,
+                            dtype=dtype)
+    if algo == "imcra":
+        from se_snmf_nat_tpu.enhance.imcra import OmlsaEnhancer
+        return OmlsaEnhancer(dtype=dtype)
+    if algo == "ms":
+        from se_snmf_nat_tpu.enhance.ms import MmseEnhancer
+        return MmseEnhancer(cfg.signal.fs, dtype=dtype)
+    if algo == "pmwf":
+        from se_snmf_nat_tpu.multichannel.pmwf import PmwfEnhancer
+        return PmwfEnhancer(cfg, dtype=dtype)
+    raise SystemExit(f"unknown algorithm {args.algorithm!r}")
+
+
+def cmd_enhance(args) -> int:
+    from se_snmf_nat_tpu.io.wavio import read_wav_int16, write_wav_int16
+    enh = _build_enhancer(args)
+    src = Path(args.input)
+    if src.is_dir():
+        from se_snmf_nat_tpu.runtime.runner import BatchRunner
+        carry = args.carry_state and args.algorithm.lower() in ("snmf", "ms")
+        runner = BatchRunner(enh, carry_state=carry,
+                             force_rewrite=args.force,
+                             state_path=args.state_path,
+                             out_suffix=args.out_suffix)
+        rep = runner.run(src, args.output or src.with_name(src.name + "_enh"),
+                         batch_size=args.batch_size)
+        print(json.dumps({"processed": len(rep.processed),
+                          "skipped": len(rep.skipped),
+                          "realtime_factor": round(rep.realtime_factor, 1)}))
+        return 0
+    x, fs = read_wav_int16(src)
+    y = enh.enhance(x)
+    out = Path(args.output) if args.output \
+        else src.with_name(src.stem + args.out_suffix + ".wav")
+    write_wav_int16(out, np.atleast_1d(np.squeeze(y)), fs)
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from se_snmf_nat_tpu.config import preset
+    from se_snmf_nat_tpu.train.basis import train_event_basis_cached
+    cfg = preset(args.preset)
+    rng = np.random.default_rng(args.seed) if args.seed is not None else None
+    pair = train_event_basis_cached(
+        args.db, args.basis_dir, cfg, args.rank, dc_freq=args.dc_freq,
+        vad=args.vad, force_retrain=args.force, dtype=_jnp_dtype(args.dtype),
+        shuffle_rng=rng)
+    print(json.dumps({"basis_dir": str(args.basis_dir), "rank": pair.rank,
+                      "b_dft_shape": list(pair.b_dft.shape),
+                      "b_mel_shape": list(pair.b_mel.shape)}))
+    return 0
+
+
+def cmd_dnmf(args) -> int:
+    from se_snmf_nat_tpu.config import preset
+    from se_snmf_nat_tpu.io.basis import BasisPair, load_basis, save_basis
+    from se_snmf_nat_tpu.io.wavio import read_wav_int16
+    from se_snmf_nat_tpu.train.dnmf import dnmf_refit
+    cfg = preset(args.preset)
+    x, _ = read_wav_int16(args.clean)
+    d, _ = read_wav_int16(args.noise)
+    pair = load_basis(args.basis)
+    b = pair.b_mel if args.domain == "Mel" else pair.b_dft
+    b_hat = dnmf_refit(x, d, b, cfg, domain=args.domain,
+                       dtype=_jnp_dtype(args.dtype))
+    if args.domain == "Mel":
+        out = BasisPair(b_dft=pair.b_dft, b_mel=b_hat)
+    else:
+        out = BasisPair(b_dft=b_hat, b_mel=pair.b_mel)
+    save_basis(args.output, out)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_campaign(args) -> int:
+    """Train speech+noise bases, then enhance every target directory with a
+    fresh adapted dictionary per condition (Do_MultiBatch*:183-221)."""
+    from se_snmf_nat_tpu.config import preset
+    from se_snmf_nat_tpu.io.basis import BasisPair
+    from se_snmf_nat_tpu.runtime.runner import BatchRunner
+    from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+    from se_snmf_nat_tpu.train.basis import train_event_basis_cached
+
+    cfg = preset(args.preset)
+    dtype = _jnp_dtype(args.dtype)
+    root = Path(args.basis_root)
+    rng = np.random.default_rng(args.seed) if args.seed is not None else None
+    speech = train_event_basis_cached(
+        args.speech_db, root / "speech", cfg, args.rank, vad=args.vad,
+        force_retrain=args.force, dtype=dtype, shuffle_rng=rng)
+    noise = train_event_basis_cached(
+        args.noise_db, root / "noise", cfg, args.rank,
+        force_retrain=args.force, dtype=dtype, shuffle_rng=rng)
+    noise = noise.tiled_to_rank(cfg.sep.r_d)
+
+    if args.dnmf:
+        from se_snmf_nat_tpu.train.dnmf import dnmf_refit
+        from se_snmf_nat_tpu.io.wavio import read_wav_int16
+        xs, _ = read_wav_int16(sorted(Path(args.speech_db).glob("*.wav"))[0])
+        ds, _ = read_wav_int16(sorted(Path(args.noise_db).glob("*.wav"))[0])
+        b = np.concatenate([speech.b_dft[:, : cfg.sep.r_x],
+                            noise.b_dft[:, : cfg.sep.r_d]], axis=1)
+        b_hat = dnmf_refit(xs, ds, b, cfg, dtype=dtype)
+        speech = BasisPair(b_dft=b_hat[:, : cfg.sep.r_x], b_mel=speech.b_mel)
+        noise = BasisPair(b_dft=b_hat[:, cfg.sep.r_x:], b_mel=noise.b_mel)
+
+    if cfg.sep.b_sep_mode == "Mel":
+        b1x, b1d = speech.b_mel, noise.b_mel
+    else:
+        b1x, b1d = speech.b_dft, noise.b_dft
+    enh = SnmfEnhancer(cfg, b1x, b1d, speech.b_dft, noise.b_dft, dtype=dtype)
+
+    out_root = Path(args.out_root)
+    results = {}
+    for target in args.targets:
+        target = Path(target)
+        state_file = out_root / f"B_D_u_{target.name}.npz"
+        if state_file.exists():
+            state_file.unlink()          # per-condition reset (driver :193)
+        runner = BatchRunner(enh, carry_state=not args.no_carry,
+                             force_rewrite=args.force,
+                             state_path=state_file)
+        rep = runner.run(target, out_root / target.name,
+                         batch_size=args.batch_size)
+        results[target.name] = {"processed": len(rep.processed),
+                                "skipped": len(rep.skipped),
+                                "rt_factor": round(rep.realtime_factor, 1)}
+    print(json.dumps(results))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from se_snmf_nat_tpu.io.wavio import read_wav_int16
+    got, _ = read_wav_int16(args.got)
+    want, _ = read_wav_int16(args.want)
+    n = min(len(got), len(want))
+    g, w = got[:n].astype(np.float64), want[:n].astype(np.float64)
+    diff = np.abs(g - w)
+    print(json.dumps({
+        "n_samples": int(n),
+        "len_got": len(got), "len_want": len(want),
+        "max_abs_err": float(diff.max()),
+        "mean_abs_err": float(diff.mean()),
+        "corr": float(np.corrcoef(g, w)[0, 1]),
+        "rel_rmse": float(np.sqrt(((g - w) ** 2).mean())
+                          / max(np.sqrt((w ** 2).mean()), 1e-12)),
+    }))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+    bench.main()
+    return 0
+
+
+def _common_enh_args(sp):
+    sp.add_argument("--preset", default="snmf_nat")
+    sp.add_argument("--dtype", default="float32",
+                    choices=["float32", "float64", "bfloat16"])
+    sp.add_argument("--speech-basis")
+    sp.add_argument("--noise-basis")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="se_snmf_nat_tpu",
+        description="TPU-native sparse-NMF speech-enhancement framework")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    e = sub.add_parser("enhance", help="enhance a wav file or directory")
+    e.add_argument("input")
+    e.add_argument("-o", "--output")
+    e.add_argument("--algorithm", default="snmf",
+                   choices=["snmf", "imcra", "ms", "pmwf"])
+    _common_enh_args(e)
+    e.add_argument("--carry-state", action="store_true", default=True)
+    e.add_argument("--no-carry-state", dest="carry_state",
+                   action="store_false")
+    e.add_argument("--state-path")
+    e.add_argument("--batch-size", type=int, default=1)
+    e.add_argument("--force", action="store_true")
+    e.add_argument("--out-suffix", default="_enh")
+    e.set_defaults(fn=cmd_enhance)
+
+    t = sub.add_parser("train", help="train a dictionary from a wav dir")
+    t.add_argument("--db", required=True)
+    t.add_argument("--basis-dir", required=True)
+    t.add_argument("--rank", type=int, default=100)
+    t.add_argument("--preset", default="snmf_nat")
+    t.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64", "bfloat16"])
+    t.add_argument("--dc-freq", type=float)
+    t.add_argument("--vad", action="store_true")
+    t.add_argument("--force", action="store_true")
+    t.add_argument("--seed", type=int)
+    t.set_defaults(fn=cmd_train)
+
+    d = sub.add_parser("dnmf", help="discriminative dictionary refit")
+    d.add_argument("--clean", required=True)
+    d.add_argument("--noise", required=True)
+    d.add_argument("--basis", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--domain", default="DFT", choices=["DFT", "Mel"])
+    d.add_argument("--preset", default="snmf_nat")
+    d.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64", "bfloat16"])
+    d.set_defaults(fn=cmd_dnmf)
+
+    c = sub.add_parser("campaign", help="train bases then enhance targets")
+    c.add_argument("--speech-db", required=True)
+    c.add_argument("--noise-db", required=True)
+    c.add_argument("--basis-root", required=True)
+    c.add_argument("--out-root", required=True)
+    c.add_argument("--targets", nargs="+", required=True)
+    c.add_argument("--rank", type=int, default=100)
+    c.add_argument("--preset", default="snmf_nat")
+    c.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64", "bfloat16"])
+    c.add_argument("--dnmf", action="store_true")
+    c.add_argument("--vad", action="store_true")
+    c.add_argument("--force", action="store_true")
+    c.add_argument("--no-carry", action="store_true")
+    c.add_argument("--batch-size", type=int, default=1)
+    c.add_argument("--seed", type=int)
+    c.set_defaults(fn=cmd_campaign)
+
+    v = sub.add_parser("eval", help="compare two wavs (JSON metrics)")
+    v.add_argument("--got", required=True)
+    v.add_argument("--want", required=True)
+    v.set_defaults(fn=cmd_eval)
+
+    b = sub.add_parser("bench", help="run the headline benchmark")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,142 @@
+"""Runtime services (checkpointing, batch runner) and the CLI."""
+
+import json
+from dataclasses import replace
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from se_snmf_nat_tpu.cli import main as cli_main
+from se_snmf_nat_tpu.config import default_config
+from se_snmf_nat_tpu.io.wavio import read_wav_int16, write_wav_int16
+from se_snmf_nat_tpu.runtime.checkpoint import (
+    load_adapted_dictionary, load_engine_state, save_adapted_dictionary,
+    save_engine_state)
+from se_snmf_nat_tpu.runtime.runner import BatchRunner
+from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+
+
+FS = 16000
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    cfg = default_config()
+    return cfg.evolve(
+        sep=replace(cfg.sep, r_x=8, r_d=8),
+        adapt=replace(cfg.adapt, r_a=4, m_a=10),
+        nmf=replace(cfg.nmf, max_iter=5),
+    )
+
+
+@pytest.fixture(scope="module")
+def small_enh(small_cfg):
+    rng = np.random.default_rng(0)
+    f = small_cfg.signal.n_bins
+    bx = rng.random((f, 8)) + 1e-3
+    bd = rng.random((f, 8)) + 1e-3
+    return SnmfEnhancer(small_cfg, bx, bd, bx, bd, dtype=jnp.float64,
+                        matlab_ad_blk_init=False)
+
+
+def test_engine_state_checkpoint_roundtrip(small_enh, tmp_path):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(FS) * 3000
+    _, state = small_enh.enhance(x, return_state=True)
+    path = tmp_path / "state.npz"
+    save_engine_state(path, state)
+    loaded = load_engine_state(path, jnp.float64)
+    for f in state._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(state, f)),
+                                      np.asarray(getattr(loaded, f)), err_msg=f)
+    # resumed state continues bit-identically
+    y1 = small_enh.enhance(x, state=state)
+    y2 = small_enh.enhance(x, state=loaded)
+    np.testing.assert_array_equal(y1, y2)
+
+
+def test_adapted_dictionary_checkpoint(small_enh, tmp_path):
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(FS) * 3000
+    _, state = small_enh.enhance(x, return_state=True)
+    path = tmp_path / "B_D_u.npz"
+    save_adapted_dictionary(path, state)
+    fresh = small_enh.initial_state()
+    seeded = load_adapted_dictionary(path, fresh, jnp.float64)
+    np.testing.assert_array_equal(np.asarray(seeded.b_d_head),
+                                  np.asarray(state.b_d_head))
+    # everything else reset (reference semantics: only B_D persists)
+    np.testing.assert_array_equal(np.asarray(seeded.lambda_dav),
+                                  np.asarray(fresh.lambda_dav))
+    # missing file -> state unchanged (try/catch load)
+    same = load_adapted_dictionary(tmp_path / "nope.npz", fresh, jnp.float64)
+    assert same is fresh
+
+
+@pytest.fixture()
+def wav_db(tmp_path):
+    rng = np.random.default_rng(3)
+    d = tmp_path / "db"
+    d.mkdir()
+    for i in range(3):
+        x = (rng.standard_normal(FS // 2) * 2000).astype(np.int16)
+        write_wav_int16(d / f"u{i}.wav", x, FS)
+    return d
+
+
+@pytest.mark.slow
+def test_batch_runner_skip_and_carry(small_enh, wav_db, tmp_path):
+    out = tmp_path / "out"
+    state_path = tmp_path / "B_D_u.npz"
+    runner = BatchRunner(small_enh, carry_state=True, state_path=state_path,
+                         verbose=False)
+    rep = runner.run(wav_db, out)
+    assert len(rep.processed) == 3 and not rep.skipped
+    assert state_path.exists()
+    # second run skips everything (idempotence, run_ntf_sep_RT.m:35-40)
+    rep2 = BatchRunner(small_enh, carry_state=True, verbose=False).run(
+        wav_db, out)
+    assert len(rep2.skipped) == 3 and not rep2.processed
+    # forced rewrite reprocesses
+    rep3 = BatchRunner(small_enh, force_rewrite=True, carry_state=False,
+                       verbose=False).run(wav_db, out)
+    assert len(rep3.processed) == 3
+
+
+@pytest.mark.slow
+def test_cli_enhance_and_eval(small_enh, wav_db, tmp_path, capsys,
+                              monkeypatch):
+    # single-file enhance via the real CLI with explicit tiny bases
+    rng = np.random.default_rng(4)
+    f = default_config().signal.n_bins
+    from se_snmf_nat_tpu.io.basis import BasisPair, save_basis
+    pair = BasisPair(b_dft=rng.random((f, 100)) + 1e-3,
+                     b_mel=rng.random((64, 100)) + 1e-3)
+    save_basis(tmp_path / "b.npz", pair)
+    src = sorted(wav_db.iterdir())[0]
+    out = tmp_path / "enh.wav"
+    rc = cli_main(["enhance", str(src), "-o", str(out),
+                   "--algorithm", "snmf", "--dtype", "float64",
+                   "--speech-basis", str(tmp_path / "b.npz"),
+                   "--noise-basis", str(tmp_path / "b.npz")])
+    assert rc == 0 and out.exists()
+    x, fs = read_wav_int16(out)
+    assert fs == FS and len(x) > 0
+    capsys.readouterr()
+
+    rc = cli_main(["eval", "--got", str(out), "--want", str(out)])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip())
+    assert metrics["max_abs_err"] == 0.0 and metrics["corr"] == 1.0
+
+
+@pytest.mark.slow
+def test_cli_train(wav_db, tmp_path, capsys):
+    rc = cli_main(["train", "--db", str(wav_db), "--basis-dir",
+                   str(tmp_path / "bdir"), "--rank", "6",
+                   "--dtype", "float64", "--seed", "0"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rank"] == 6
+    assert (tmp_path / "bdir" / "R_6.npz").exists()
