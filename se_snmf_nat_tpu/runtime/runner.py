@@ -18,7 +18,11 @@ import time
 from dataclasses import dataclass, field
 from pathlib import Path
 
-from se_snmf_nat_tpu.io.wavio import read_wav_int16, write_enhanced_wav, write_wav_int16
+# native C++ IO when the toolchain is available (byte-identical fallback
+# to the pure-Python implementations otherwise — tests/test_native_io.py)
+from se_snmf_nat_tpu.io.native import (
+    read_wav_int16, write_wav_int16)
+from se_snmf_nat_tpu.io.wavio import write_enhanced_wav
 
 
 @dataclass

@@ -36,30 +36,60 @@ class SnmfEnhancer:
     """Builds jitted single-utterance and batched enhancement functions."""
 
     def __init__(self, cfg: PipelineConfig | None, b1_x, b1_d, b2_x, b2_d,
-                 dtype=jnp.float32, matlab_ad_blk_init: bool = True):
+                 dtype=jnp.float32, matlab_ad_blk_init: bool = True,
+                 frame_bucket: int = 128):
         self.cfg = cfg or default_config()
         s = self.cfg.signal
         self.dtype = dtype
         self.engine = make_engine(self.cfg, b1_x, b1_d, b2_x, b2_d, dtype)
         self.win = jnp.asarray(sqrt_hann_periodic(s.framelength), dtype)
         self._state0 = self.engine.init_state(dtype, matlab_ad_blk_init)
+        # utterance lengths round up to frame_bucket frames so every length
+        # in a bucket shares one compiled executable (padding frames run
+        # masked: state updates are identity, outputs zero) — without this,
+        # sequential campaigns recompile per distinct wav length.
+        self.frame_bucket = max(int(frame_bucket), 1)
+
+        def masked_step(t_valid):
+            def step(state, xs):
+                _, l = xs
+                new_state, out = self.engine.step(state, xs)
+                valid = l <= t_valid
+                state_out = jax.tree.map(
+                    lambda a, b: jnp.where(valid, a, b), new_state, state)
+                return state_out, jnp.where(valid, out, jnp.zeros_like(out))
+            return step
 
         @jax.jit
-        def run(frames, state0):
+        def run(frames, state0, t_valid):
             mag, phase = analysis_frames(
                 frames, self.win, s.fftlength, s.pow, s.dc_bin,
                 s.nonzerofloor, s.preemph)
             t = mag.shape[0]
             ls = jnp.arange(1, t + 1, dtype=jnp.int32)
-            state, xm_tilde = jax.lax.scan(self.engine.step, state0, (mag, ls))
+            state, xm_tilde = jax.lax.scan(masked_step(t_valid), state0,
+                                           (mag, ls))
             out_frames = synthesis_frames(
                 xm_tilde, phase, s.framelength, s.fftlength, self.win, s.pow,
                 s.dc_bin_back, s.overlapscale, s.preemph)
             y = overlap_add(out_frames, s.frameshift)
             return y, state
 
-        self._run = run
-        self._run_batch = jax.jit(jax.vmap(run, in_axes=(0, 0)))
+        self._run_masked = run
+        self._run = lambda frames, state0: run(
+            frames, state0, jnp.asarray(frames.shape[0], jnp.int32))
+        self._run_batch_masked = jax.jit(jax.vmap(run, in_axes=(0, 0, 0)))
+        self._run_batch = lambda frames, states: self._run_batch_masked(
+            frames, states,
+            jnp.full((frames.shape[0],), frames.shape[1], jnp.int32))
+
+    def _pad_frames(self, frames: np.ndarray) -> np.ndarray:
+        t = frames.shape[0]
+        t_pad = -(-t // self.frame_bucket) * self.frame_bucket
+        if t_pad == t:
+            return frames
+        return np.concatenate(
+            [frames, np.zeros((t_pad - t,) + frames.shape[1:])], axis=0)
 
     # ------------------------------------------------------------------
     def frames_for(self, x: np.ndarray) -> np.ndarray:
@@ -74,26 +104,30 @@ class SnmfEnhancer:
                 quantize: bool = True):
         """Enhance one utterance of int16-scale samples."""
         s = self.cfg.signal
-        frames = jnp.asarray(self.frames_for(x), self.dtype)
-        y, state_out = self._run(frames, state if state is not None
-                                 else self._state0)
-        t = frames.shape[0]
+        true_frames = self.frames_for(x)
+        t = true_frames.shape[0]
+        frames = jnp.asarray(self._pad_frames(true_frames), self.dtype)
+        y, state_out = self._run_masked(
+            frames, state if state is not None else self._state0,
+            jnp.asarray(t, jnp.int32))
         start = self.cfg.delay * s.frameshift
         emit = np.asarray(y[start: start + (t - self.cfg.delay) * s.frameshift])
         out = enhanced_quantize(emit) if quantize else emit
         return (out, state_out) if return_state else out
 
     def enhance_batch(self, xs: list[np.ndarray], quantize: bool = True):
-        """Enhance a batch of utterances (padded to the longest)."""
+        """Enhance a batch of utterances (padded to the longest bucket)."""
         s = self.cfg.signal
         frame_list = [self.frames_for(x) for x in xs]
-        t_max = max(f.shape[0] for f in frame_list)
+        t_true = np.asarray([f.shape[0] for f in frame_list], np.int32)
+        t_max = -(-int(t_true.max()) // self.frame_bucket) * self.frame_bucket
         frames = np.zeros((len(xs), t_max, s.framelength), np.float64)
         for i, f in enumerate(frame_list):
             frames[i, : f.shape[0]] = f
         states = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (len(xs),) + a.shape), self._state0)
-        ys, _ = self._run_batch(jnp.asarray(frames, self.dtype), states)
+        ys, _ = self._run_batch_masked(jnp.asarray(frames, self.dtype),
+                                       states, jnp.asarray(t_true))
         ys = np.asarray(ys)
         outs = []
         start = self.cfg.delay * s.frameshift
