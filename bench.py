@@ -37,7 +37,7 @@ def main() -> None:
                        noise.b_dft, dtype=jnp.float32)
     frames = enh.frames_for(x)
 
-    batch_size = 16
+    batch_size = 64
     batch = jnp.asarray(np.stack([frames] * batch_size), jnp.float32)
     states = jax.tree.map(
         lambda a: jnp.broadcast_to(a, (batch_size,) + a.shape),
@@ -62,7 +62,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "audio_seconds_per_s_per_chip",
         "value": round(value_per_chip, 2),
-        "unit": "audio-s/s/chip (adaptive SNMF-NAT enhancement, f32, B=16)",
+        "unit": "audio-s/s/chip (adaptive SNMF-NAT enhancement, f32, B=64)",
         "vs_baseline": round(value_per_chip / 100.0, 3),
     }))
 

@@ -168,7 +168,11 @@ class RuntimeConfig:
     """Execution options (not part of the algorithm definition)."""
 
     dtype: str = "float32"       # JAX compute dtype
-    matmul_precision: str = "highest"
+    # 'default' (1-pass bf16 MXU) measures statistically identical to
+    # 'highest' (6-pass) against the reference golden wavs (corr 0.9967 vs
+    # 0.9972, mean|err| 71.8 vs 74.1 LSB on M03) and is ~12% faster; x64
+    # oracle-parity tests are unaffected (precision only changes f32 on TPU)
+    matmul_precision: str = "default"
     batch_size: int = 1          # utterances per device in offline mode
     mesh_shape: Tuple[int, ...] = ()   # empty = single device
     mesh_axes: Tuple[str, ...] = ("data",)
