@@ -3,6 +3,7 @@ from se_snmf_nat_tpu.parallel.train_step import (
     distributed_mu_step,
     make_distributed_train_step,
 )
+from se_snmf_nat_tpu.parallel.time_shard import enhance_time_sharded
 
 __all__ = [
     "make_mesh",
@@ -10,4 +11,5 @@ __all__ = [
     "replicated",
     "distributed_mu_step",
     "make_distributed_train_step",
+    "enhance_time_sharded",
 ]

@@ -1,0 +1,75 @@
+"""Time-axis (context-parallel) sharded enhancement on the virtual CPU
+mesh: halo warm-up must reproduce the sequential scan."""
+
+from dataclasses import replace
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from se_snmf_nat_tpu.config import default_config
+from se_snmf_nat_tpu.parallel.mesh import make_mesh
+from se_snmf_nat_tpu.parallel.time_shard import enhance_time_sharded
+from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh((8, 1))
+
+
+def _small_enh(adapt: bool):
+    cfg = default_config()
+    cfg = cfg.evolve(
+        sep=replace(cfg.sep, r_x=8, r_d=8),
+        adapt=replace(cfg.adapt, adapt_train_n=adapt, r_a=4, m_a=10),
+        nmf=replace(cfg.nmf, max_iter=10),
+    )
+    rng = np.random.default_rng(0)
+    f = cfg.signal.n_bins
+    bx = rng.random((f, 8)) + 1e-3
+    bd = rng.random((f, 8)) + 1e-3
+    return SnmfEnhancer(cfg, bx, bd, bx, bd, dtype=jnp.float64,
+                        matlab_ad_blk_init=False)
+
+
+@pytest.fixture(scope="module")
+def audio(m03_wav):
+    x, _ = m03_wav
+    return x[:48000]   # 3 s -> ~304 frames over 8 shards of 38
+
+
+@pytest.mark.slow
+def test_sharded_matches_sequential_no_adapt(mesh, audio):
+    """Fixed dictionaries: state memory is DD decay + rings, so a 64-frame
+    halo reproduces the sequential output to (near) quantization exactness."""
+    enh = _small_enh(adapt=False)
+    want = enh.enhance(audio)
+    got = enhance_time_sharded(enh, audio, mesh, halo=64)
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert diff.max() <= 1            # at most 1 LSB at segment seams
+    assert (diff > 0).mean() < 0.01
+
+
+@pytest.mark.slow
+def test_sharded_with_adaptation_close(mesh, audio):
+    """With online dictionary adaptation the halo approximates the carried
+    dictionary — bounded deviation, high waveform agreement."""
+    enh = _small_enh(adapt=True)
+    want = enh.enhance(audio).astype(np.float64)
+    got = enhance_time_sharded(enh, audio, mesh, halo=64).astype(np.float64)
+    corr = np.corrcoef(got, want)[0, 1]
+    assert corr > 0.98, corr
+
+
+@pytest.mark.slow
+def test_sharded_halo_zero_diverges_more(mesh, audio):
+    """Sanity: the halo is doing real work — no warm-up is worse."""
+    enh = _small_enh(adapt=False)
+    want = enh.enhance(audio).astype(np.float64)
+    got64 = enhance_time_sharded(enh, audio, mesh, halo=64).astype(np.float64)
+    got0 = enhance_time_sharded(enh, audio, mesh, halo=0).astype(np.float64)
+    err64 = np.abs(got64 - want).mean()
+    err0 = np.abs(got0 - want).mean()
+    assert err0 > err64
