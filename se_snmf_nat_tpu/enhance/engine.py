@@ -184,9 +184,12 @@ def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
                 target = lam_blk if not mel_mode else melmat @ lam_blk
                 w0 = head * r_up[None, :]
                 h0a = ad_blk * r_up[:, None]
+                # active short-circuits the MU loop on untriggered vmap
+                # lanes (cond batches to select; see snmf_solve docstring)
                 res = snmf_solve(target, w0, h0a, r_up,
                                  jnp.zeros(r_a, bool), solve_params,
-                                 update_w=True, update_h=False)
+                                 update_w=True, update_h=False,
+                                 active=jnp.logical_and(trigger, do_solve))
                 merged = jnp.where(r_up[None, :], res.w, head)
                 perm = jnp.argsort(r_up.astype(jnp.int32), stable=True)
                 return merged[:, perm]

@@ -152,7 +152,8 @@ class SnmfResult(NamedTuple):
 def snmf_solve(v: jnp.ndarray, w0: jnp.ndarray, h0: jnp.ndarray,
                w_mask: jnp.ndarray, h_mask: jnp.ndarray,
                params: SnmfParams, update_w: bool = True,
-               update_h: bool = True) -> SnmfResult:
+               update_h: bool = True,
+               active: jnp.ndarray | None = None) -> SnmfResult:
     """Full sparse-NMF solve with reference-equivalent semantics.
 
     v: (m, n) nonnegative data;  w0: (m, r);  h0: (r, n).
@@ -162,6 +163,13 @@ def snmf_solve(v: jnp.ndarray, w0: jnp.ndarray, h0: jnp.ndarray,
 
     Entry behavior matches sparse_nmf.m:157-169: v floored at flr, W columns
     L2-normalized with H rescaled by the norms, Λ floored.
+
+    active: optional traced bool scalar; when False the MU loop runs zero
+    iterations (result = entry-normalized factors).  Callers whose result
+    is discarded on inactive lanes (the engine's trigger-gated refit under
+    vmap, where lax.cond batches to a select and would otherwise run the
+    full solve for every lane every frame) use this to let the vmapped
+    while_loop converge in max-over-TRIGGERED-lanes iterations.
     """
     prec = params.lax_precision
     flr = jnp.asarray(params.flr, v.dtype)
@@ -193,7 +201,10 @@ def snmf_solve(v: jnp.ndarray, w0: jnp.ndarray, h0: jnp.ndarray,
 
     def cond(carry):
         it, *_, done = carry
-        return jnp.logical_and(it < params.max_iter, jnp.logical_not(done))
+        run = jnp.logical_and(it < params.max_iter, jnp.logical_not(done))
+        if active is not None:
+            run = jnp.logical_and(run, active)
+        return run
 
     init = (jnp.asarray(0, jnp.int32), w, h, lamb,
             jnp.asarray(jnp.inf, v.dtype), jnp.asarray(False))

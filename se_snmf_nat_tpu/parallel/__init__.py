@@ -4,6 +4,7 @@ from se_snmf_nat_tpu.parallel.train_step import (
     make_distributed_train_step,
 )
 from se_snmf_nat_tpu.parallel.time_shard import enhance_time_sharded
+from se_snmf_nat_tpu.parallel.scaling import measure_dp_scaling
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,5 @@ __all__ = [
     "distributed_mu_step",
     "make_distributed_train_step",
     "enhance_time_sharded",
+    "measure_dp_scaling",
 ]

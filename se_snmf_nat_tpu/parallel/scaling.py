@@ -1,0 +1,60 @@
+"""Data-parallel scaling measurement (BASELINE.md: scaling efficiency at
+1 chip -> 1 host -> N hosts).
+
+Shards a fixed per-device utterance batch over growing device counts and
+measures audio-seconds/s.  On the single-chip CI machine this degenerates
+to k=1 (and the virtual CPU mesh only validates mechanics, not speed); on a
+real slice it produces the 1->N efficiency table.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from se_snmf_nat_tpu.parallel.mesh import data_sharding, make_mesh
+
+
+def measure_dp_scaling(enhancer, x: np.ndarray, fs: int, *,
+                       per_device_batch: int = 16,
+                       device_counts: list[int] | None = None,
+                       n_rep: int = 3) -> dict:
+    """enhancer: SnmfEnhancer; x: one utterance to replicate into batches."""
+    devices = jax.devices()
+    counts = device_counts or sorted({1, 2, 4, len(devices)})
+    counts = [c for c in counts if c <= len(devices)]
+    frames = enhancer._pad_frames(enhancer.frames_for(x))
+    t = frames.shape[0]
+    audio_s = len(x) / fs
+    results = {}
+    for k in counts:
+        mesh = make_mesh((k, 1), devices=devices[:k])
+        b = per_device_batch * k
+        batch = jnp.asarray(np.broadcast_to(
+            frames, (b,) + frames.shape), enhancer.dtype)
+        states = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (b,) + a.shape),
+            enhancer.initial_state())
+        sh = data_sharding(mesh, 3, 0)
+        batch = jax.device_put(batch, sh)
+        states = jax.tree.map(
+            lambda a: jax.device_put(a, data_sharding(mesh, a.ndim, 0)),
+            states)
+        t_valid = jnp.full((b,), t, jnp.int32)
+        ys, _ = enhancer._run_batch_masked(batch, states, t_valid)
+        jax.block_until_ready(ys)
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            ys, _ = enhancer._run_batch_masked(batch, states, t_valid)
+        jax.block_until_ready(ys)
+        el = (time.perf_counter() - t0) / n_rep
+        results[k] = {"audio_s_per_s": round(b * audio_s / el, 1),
+                      "devices": k}
+    base = results[counts[0]]["audio_s_per_s"] / counts[0]
+    for k in counts:
+        results[k]["efficiency_vs_1dev"] = round(
+            results[k]["audio_s_per_s"] / (k * base), 3)
+    return results

@@ -23,6 +23,7 @@ from pathlib import Path
 from se_snmf_nat_tpu.io.native import (
     read_wav_int16, write_wav_int16)
 from se_snmf_nat_tpu.io.wavio import write_enhanced_wav
+from se_snmf_nat_tpu.runtime.profiling import StageTimer
 
 
 @dataclass
@@ -31,6 +32,7 @@ class RunReport:
     skipped: list[str] = field(default_factory=list)
     seconds_audio: float = 0.0
     seconds_wall: float = 0.0
+    timer: StageTimer = field(default_factory=StageTimer)
 
     @property
     def realtime_factor(self) -> float:
@@ -94,14 +96,18 @@ class BatchRunner:
                         self.state_path, self.enhancer.initial_state(),
                         self.enhancer.dtype)
             for f in todo:
-                x, fs = read_wav_int16(f)
+                with report.timer.stage("io_read"):
+                    x, fs = read_wav_int16(f)
                 report.seconds_audio += len(x) / fs
-                if self.carry_state:
-                    y, state = self.enhancer.enhance(x, state=state,
-                                                     return_state=True)
-                else:
-                    y = self.enhancer.enhance(x)
-                write_wav_int16(self._out_path(f, db_out), y, fs)
+                report.timer.add_audio(len(x) / fs)
+                with report.timer.stage("enhance"):
+                    if self.carry_state:
+                        y, state = self.enhancer.enhance(x, state=state,
+                                                         return_state=True)
+                    else:
+                        y = self.enhancer.enhance(x)
+                with report.timer.stage("io_write"):
+                    write_wav_int16(self._out_path(f, db_out), y, fs)
                 report.processed.append(f.name)
                 if self.verbose:
                     print(f"[seq] {f.name}")
