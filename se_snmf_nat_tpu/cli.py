@@ -90,6 +90,28 @@ def cmd_enhance(args) -> int:
     return 0
 
 
+def cmd_separate(args) -> int:
+    """Per-source separation (the reference engine's x_hat/d_hat outputs +
+    multi-event Techwin layout)."""
+    from se_snmf_nat_tpu.io.wavio import read_wav_int16, write_wav_int16
+    args.algorithm = "snmf"
+    enh = _build_enhancer(args)
+    src = Path(args.input)
+    x, fs = read_wav_int16(src)
+    out = enh.separate(x)
+    stem = Path(args.output_prefix) if args.output_prefix \
+        else src.with_suffix("")
+    write_wav_int16(f"{stem}_enhanced.wav", out["enhanced"], fs)
+    for i, e in enumerate(out["events"]):
+        write_wav_int16(f"{stem}_event{i}.wav", e, fs)
+    for i, d in enumerate(out["noises"]):
+        write_wav_int16(f"{stem}_noise{i}.wav", d, fs)
+    print(json.dumps({"events": len(out["events"]),
+                      "noises": len(out["noises"]),
+                      "prefix": str(stem)}))
+    return 0
+
+
 def cmd_train(args) -> int:
     from se_snmf_nat_tpu.config import preset
     from se_snmf_nat_tpu.train.basis import train_event_basis_cached
@@ -253,6 +275,13 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--force", action="store_true")
     e.add_argument("--out-suffix", default="_enh")
     e.set_defaults(fn=cmd_enhance)
+
+    sp = sub.add_parser("separate",
+                        help="per-source separation (events + noises)")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--output-prefix")
+    _common_enh_args(sp)
+    sp.set_defaults(fn=cmd_separate)
 
     t = sub.add_parser("train", help="train a dictionary from a wav dir")
     t.add_argument("--db", required=True)

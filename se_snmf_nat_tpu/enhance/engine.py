@@ -46,11 +46,16 @@ class Engine(NamedTuple):
 
 def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
                 b2_x: np.ndarray, b2_d: np.ndarray,
-                dtype=jnp.float32) -> Engine:
+                dtype=jnp.float32, emit_sources: bool = False) -> Engine:
     """Build the scan step closed over the immutable dictionary parts.
 
     b1_*: separation-domain bases (mel or DFT per cfg.sep.b_sep_mode);
     b2_*: DFT reconstruction bases (filewise_run_IS16.m:46-51).
+
+    emit_sources: also output the per-event / per-noise reconstruction
+    spectra (engine :158-200 block layout from cfg.sep.event_rank /
+    noise_rank; their per-class sums equal the xm_hat/dm_hat the gain
+    uses, so separation adds outputs without changing the enhancement).
     """
     s, sep, ad, en, blk = cfg.signal, cfg.sep, cfg.adapt, cfg.enhance, cfg.blk
     if sep.blk_len_sep != 1 or sep.splice != 0:
@@ -94,6 +99,15 @@ def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
                       dc_bin=s.dc_bin, gap=blk.blk_gap, alpha_p=blk.alpha_p,
                       nonzerofloor=flr)
 
+    # per-class dictionary blocks (1-based starts, last block runs to the
+    # class end — engine :156-182)
+    def _blocks(starts, total):
+        starts0 = [int(v) - 1 for v in starts]
+        return list(zip(starts0, starts0[1:] + [total]))
+
+    event_blocks = _blocks(sep.event_rank, r_x)
+    noise_blocks = _blocks(sep.noise_rank, r_d)
+
     def step(state: EngineState, xs):
         ym, l = xs                                # ym: (F,), l: 1-based int32
         ym = ym.astype(dtype)
@@ -116,8 +130,17 @@ def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
 
         # ---- reconstructions (engine :158-211)
         if mel_mode and sep.mel_conv:
-            xm_hat = melmat.T @ (bx_sep @ a[:r_x])
-            dm_hat = melmat.T @ (b_sep_d @ a[r_x:])
+            if emit_sources:
+                x_srcs = [melmat.T @ (bx_sep[:, lo:hi] @ a[lo:hi])
+                          for lo, hi in event_blocks]
+                d_srcs = [melmat.T @ (b_sep_d[:, lo:hi]
+                                      @ a[r_x + lo: r_x + hi])
+                          for lo, hi in noise_blocks]
+                xm_hat = sum(x_srcs)
+                dm_hat = sum(d_srcs)
+            else:
+                xm_hat = melmat.T @ (bx_sep @ a[:r_x])
+                dm_hat = melmat.T @ (b_sep_d @ a[r_x:])
             ym_dft = melmat.T @ y_sep
         else:
             # DFT mode: the adapted head doubles as the reconstruction
@@ -128,8 +151,19 @@ def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
             else:
                 b_dft_full = jnp.concatenate(
                     [bx_dft, state.b_d_head, bd_dft[:, r_a:]], axis=1)
-            xm_hat = b_dft_full[:, :r_x] @ a[:r_x]
-            dm_hat = b_dft_full[:, r_x:] @ a[r_x:]
+            if emit_sources:
+                # block sums reproduce the reference's per-event loop
+                # accumulation order (engine :156-200)
+                x_srcs = [b_dft_full[:, lo:hi] @ a[lo:hi]
+                          for lo, hi in event_blocks]
+                d_srcs = [b_dft_full[:, r_x + lo: r_x + hi]
+                          @ a[r_x + lo: r_x + hi]
+                          for lo, hi in noise_blocks]
+                xm_hat = sum(x_srcs)
+                dm_hat = sum(d_srcs)
+            else:
+                xm_hat = b_dft_full[:, :r_x] @ a[:r_x]
+                dm_hat = b_dft_full[:, r_x:] @ a[r_x:]
             ym_dft = ym
 
         # ---- block sparsity (engine :213-218)
@@ -206,6 +240,8 @@ def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
 
         new_state = state_ad._replace(
             lambda_dav=lambda_dav, xm_tilde=xm_tilde, r_blk=r_blk)
+        if emit_sources:
+            return new_state, (xm_tilde, jnp.stack(x_srcs), jnp.stack(d_srcs))
         return new_state, xm_tilde
 
     def init_state_fn(dtype_=dtype, matlab_ad_blk_init: bool = True):

@@ -44,6 +44,8 @@ class SnmfEnhancer:
         self.engine = make_engine(self.cfg, b1_x, b1_d, b2_x, b2_d, dtype)
         self.win = jnp.asarray(sqrt_hann_periodic(s.framelength), dtype)
         self._state0 = self.engine.init_state(dtype, matlab_ad_blk_init)
+        self._bases = (b1_x, b1_d, b2_x, b2_d)
+        self._run_sources = None     # built lazily by separate()
         # utterance lengths round up to frame_bucket frames so every length
         # in a bucket shares one compiled executable (padding frames run
         # masked: state updates are identity, outputs zero) — without this,
@@ -114,6 +116,55 @@ class SnmfEnhancer:
         emit = np.asarray(y[start: start + (t - self.cfg.delay) * s.frameshift])
         out = enhanced_quantize(emit) if quantize else emit
         return (out, state_out) if return_state else out
+
+    def separate(self, x: np.ndarray, state=None, quantize: bool = True):
+        """Source separation: per-event and per-noise waveforms alongside
+        the enhanced signal (the reference engine's x_hat / d_hat outputs,
+        bnmf_sep_event_RT_IS16.m:349-363 — each source's NMF reconstruction
+        synthesized with the noisy phase).  Returns a dict with keys
+        'enhanced', 'events' (E,), 'noises' (N,)."""
+        s = self.cfg.signal
+        if self._run_sources is None:
+            eng = make_engine(self.cfg, *self._bases, self.dtype,
+                              emit_sources=True)
+
+            @jax.jit
+            def run_sources(frames, state0):
+                mag, phase = analysis_frames(
+                    frames, self.win, s.fftlength, s.pow, s.dc_bin,
+                    s.nonzerofloor, s.preemph)
+                t = mag.shape[0]
+                ls = jnp.arange(1, t + 1, dtype=jnp.int32)
+                _, (xm, xs_srcs, ds_srcs) = jax.lax.scan(
+                    eng.step, state0, (mag, ls))
+
+                def synth(m):
+                    fr = synthesis_frames(
+                        m, phase, s.framelength, s.fftlength, self.win,
+                        s.pow, s.dc_bin_back, s.overlapscale, s.preemph)
+                    return overlap_add(fr, s.frameshift)
+
+                y = synth(xm)
+                y_ev = jax.vmap(synth, in_axes=1)(xs_srcs)
+                y_no = jax.vmap(synth, in_axes=1)(ds_srcs)
+                return y, y_ev, y_no
+
+            self._run_sources = run_sources
+
+        frames = jnp.asarray(self.frames_for(x), self.dtype)
+        t = frames.shape[0]
+        y, y_ev, y_no = self._run_sources(
+            frames, state if state is not None else self._state0)
+        start = self.cfg.delay * s.frameshift
+        stop = start + (t - self.cfg.delay) * s.frameshift
+
+        def emit(a):
+            a = np.asarray(a[..., start:stop])
+            return enhanced_quantize(a) if quantize else a
+
+        return {"enhanced": emit(y),
+                "events": [emit(y_ev[i]) for i in range(y_ev.shape[0])],
+                "noises": [emit(y_no[i]) for i in range(y_no.shape[0])]}
 
     def enhance_batch(self, xs: list[np.ndarray], quantize: bool = True):
         """Enhance a batch of utterances (padded to the longest bucket)."""
