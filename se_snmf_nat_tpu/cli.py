@@ -205,6 +205,76 @@ def cmd_campaign(args) -> int:
     return 0
 
 
+def cmd_demo(args) -> int:
+    """Simulated real-time streaming demo — the GUI mic loop (SE_GUI.m:
+    372-516) as a terminal program: hop-by-hop enhancement with live
+    latency/level telemetry.  Modes mirror the GUI: snmf (adaptive,
+    SNMF-NA), snmf-fixed (no adaptation), ms (MMSE)."""
+    import time
+    import numpy as np
+    from se_snmf_nat_tpu.io.wavio import read_wav_int16, write_wav_int16
+    x, fs = read_wav_int16(args.input)
+    hop = int(0.01 * fs)
+    mode = args.mode
+    if mode == "ms":
+        from se_snmf_nat_tpu.enhance.ms import MmseEnhancer
+        enh = MmseEnhancer(fs, dtype=_jnp_dtype(args.dtype))
+        st = None
+        outs = []
+        lat = []
+        for i in range(0, len(x) - hop, hop):
+            t0 = time.perf_counter()
+            y, st = enh.enhance(x[i: i + hop], state=st, return_state=True)
+            lat.append(time.perf_counter() - t0)
+            if len(y):
+                outs.append(y)
+        out = np.concatenate(outs) if outs else np.zeros(0, np.int16)
+    else:
+        from se_snmf_nat_tpu.config import preset
+        from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+        from se_snmf_nat_tpu.stream.streaming import StreamingSession
+        from dataclasses import replace
+        args.algorithm = "snmf"
+        args.preset = args.preset if mode == "snmf" else "snmf"
+        cfg = preset(args.preset)
+        if mode == "snmf-fixed":
+            cfg = cfg.evolve(adapt=replace(cfg.adapt, adapt_train_n=False))
+        speech, noise = _load_bases(args, cfg)
+        enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                           noise.b_dft, dtype=_jnp_dtype(args.dtype))
+        sess = StreamingSession(enh)
+        sess.push(x[:hop])          # warm the jit before timing
+        sess = StreamingSession(enh)
+        outs = []
+        lat = []
+        for i in range(0, len(x) - hop + 1, hop):
+            t0 = time.perf_counter()
+            y = sess.push(x[i: i + hop])
+            lat.append(time.perf_counter() - t0)
+            if len(y):
+                outs.append(y)
+            if args.verbose and len(y) and (i // hop) % 50 == 0:
+                rms_in = float(np.sqrt((x[i: i + hop] ** 2).mean()))
+                rms_out = float(np.sqrt((y.astype(float) ** 2).mean()))
+                print(f"  hop {i // hop:5d}  in {rms_in:7.0f}  "
+                      f"out {rms_out:7.0f}  {lat[-1] * 1e3:6.2f} ms")
+        outs.append(sess.flush())
+        out = np.concatenate(outs)
+    lat_ms = np.asarray(lat) * 1e3
+    if args.output:
+        write_wav_int16(args.output, out, fs)
+    print(json.dumps({
+        "mode": mode, "hops": len(lat),
+        "hop_latency_ms": {"p50": round(float(np.percentile(lat_ms, 50)), 2),
+                           "p95": round(float(np.percentile(lat_ms, 95)), 2),
+                           "max": round(float(lat_ms.max()), 2)},
+        "realtime": bool(np.percentile(lat_ms, 95) < 10.0),
+        "rms_in": round(float(np.sqrt((x.astype(float) ** 2).mean())), 1),
+        "rms_out": round(float(np.sqrt((out.astype(float) ** 2).mean())), 1),
+    }))
+    return 0
+
+
 def cmd_eval(args) -> int:
     from se_snmf_nat_tpu.io.wavio import read_wav_int16
     got, _ = read_wav_int16(args.got)
@@ -324,6 +394,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--batch-size", type=int, default=1)
     c.add_argument("--seed", type=int)
     c.set_defaults(fn=cmd_campaign)
+
+    dm = sub.add_parser("demo", help="simulated real-time streaming demo")
+    dm.add_argument("input")
+    dm.add_argument("-o", "--output")
+    dm.add_argument("--mode", default="snmf",
+                    choices=["snmf", "snmf-fixed", "ms"])
+    dm.add_argument("--verbose", action="store_true")
+    _common_enh_args(dm)
+    dm.set_defaults(fn=cmd_demo)
 
     v = sub.add_parser("eval", help="compare two wavs (JSON metrics)")
     v.add_argument("--got", required=True)

@@ -1,0 +1,69 @@
+"""Hop-by-hop streaming session vs the offline pipeline: bit-identical."""
+
+from dataclasses import replace
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from se_snmf_nat_tpu.config import default_config
+from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+from se_snmf_nat_tpu.stream.streaming import StreamingSession
+
+
+@pytest.fixture(scope="module")
+def enh():
+    cfg = default_config()
+    cfg = cfg.evolve(
+        sep=replace(cfg.sep, r_x=8, r_d=8),
+        adapt=replace(cfg.adapt, r_a=4, m_a=10),
+        nmf=replace(cfg.nmf, max_iter=6),
+    )
+    rng = np.random.default_rng(0)
+    f = cfg.signal.n_bins
+    bx = rng.random((f, 8)) + 1e-3
+    bd = rng.random((f, 8)) + 1e-3
+    return SnmfEnhancer(cfg, bx, bd, bx, bd, dtype=jnp.float64,
+                        matlab_ad_blk_init=False)
+
+
+@pytest.mark.slow
+def test_streaming_bit_identical_to_offline(enh, m03_wav):
+    x = m03_wav[0][:16000]
+    want = enh.enhance(x)
+    sess = StreamingSession(enh)
+    parts = [sess.push(x)]
+    parts.append(sess.flush())
+    got = np.concatenate(parts)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_streaming_irregular_chunks(enh, m03_wav):
+    """Mic-style irregular chunk sizes (1..700 samples) give the same
+    stream as one big push."""
+    x = m03_wav[0][:12000]
+    want = enh.enhance(x)
+    sess = StreamingSession(enh)
+    rng = np.random.default_rng(1)
+    parts = []
+    i = 0
+    while i < len(x):
+        n = int(rng.integers(1, 700))
+        parts.append(sess.push(x[i: i + n]))
+        i += n
+    parts.append(sess.flush())
+    got = np.concatenate([p for p in parts if len(p)])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_streaming_state_continues(enh, m03_wav):
+    """A session seeded with a previous utterance's state matches the
+    chained offline call."""
+    x = m03_wav[0][:12000]
+    _, st = enh.enhance(x, return_state=True)
+    want = enh.enhance(x, state=st)
+    sess = StreamingSession(enh, state=st)
+    got = np.concatenate([sess.push(x), sess.flush()])
+    np.testing.assert_array_equal(got, want)
