@@ -277,12 +277,12 @@ def cmd_demo(args) -> int:
 
 def cmd_eval(args) -> int:
     from se_snmf_nat_tpu.io.wavio import read_wav_int16
-    got, _ = read_wav_int16(args.got)
+    got, fs = read_wav_int16(args.got)
     want, _ = read_wav_int16(args.want)
     n = min(len(got), len(want))
     g, w = got[:n].astype(np.float64), want[:n].astype(np.float64)
     diff = np.abs(g - w)
-    print(json.dumps({
+    report = {
         "n_samples": int(n),
         "len_got": len(got), "len_want": len(want),
         "max_abs_err": float(diff.max()),
@@ -290,7 +290,13 @@ def cmd_eval(args) -> int:
         "corr": float(np.corrcoef(g, w)[0, 1]),
         "rel_rmse": float(np.sqrt(((g - w) ** 2).mean())
                           / max(np.sqrt((w ** 2).mean()), 1e-12)),
-    }))
+    }
+    if args.clean:
+        from se_snmf_nat_tpu.metrics import quality_report
+        clean, _ = read_wav_int16(args.clean)
+        report["quality_vs_clean"] = quality_report(clean, g, fs)
+        report["quality_unprocessed"] = quality_report(clean, w, fs)
+    print(json.dumps(report))
     return 0
 
 
@@ -407,6 +413,7 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("eval", help="compare two wavs (JSON metrics)")
     v.add_argument("--got", required=True)
     v.add_argument("--want", required=True)
+    v.add_argument("--clean", help="clean reference for segSNR/LSD/STOI")
     v.set_defaults(fn=cmd_eval)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
