@@ -23,9 +23,16 @@ from se_snmf_nat_tpu.io.wavio import enhanced_quantize
 
 
 class StreamingSession:
-    """Wraps a SnmfEnhancer for one-hop-at-a-time processing."""
+    """Wraps a SnmfEnhancer for one-hop-at-a-time processing.
 
-    def __init__(self, enhancer, state=None):
+    block_frames > 1 trades latency for per-hop cost: hops accumulate until
+    `block_frames` are pending, then one jitted scan processes the block
+    (each device call carries ~tens of ms of dispatch/tunnel overhead, so a
+    block of K amortizes it K-fold; outputs are still bit-identical to
+    block_frames=1 because the scan runs the same steps in the same order).
+    """
+
+    def __init__(self, enhancer, state=None, block_frames: int = 1):
         self.enh = enhancer
         s = enhancer.cfg.signal
         self._s = s
@@ -34,38 +41,73 @@ class StreamingSession:
         self._hold = np.zeros(0)            # partial-hop residue
         self._acc = np.zeros(s.framelength)  # OLA accumulator
         self._l = 0
+        self._block = max(int(block_frames), 1)
+        self._pending: list[np.ndarray] = []   # queued analysis frames
         self.state = state if state is not None else enhancer.initial_state()
 
         win = enhancer.win
         eng = enhancer.engine
 
         @jax.jit
-        def one_frame(frame, state, l):
+        def run_block(frames, state, l0, n_valid):
+            # fixed block size; trailing padding frames run masked so a
+            # partial tail block reuses the same executable
             mag, phase = analysis_frames(
-                frame[None, :], win, s.fftlength, s.pow, s.dc_bin,
+                frames, win, s.fftlength, s.pow, s.dc_bin,
                 s.nonzerofloor, s.preemph)
-            state, xm = eng.step(state, (mag[0], l))
-            out = synthesis_frames(
-                xm[None, :], phase, s.framelength, s.fftlength, win, s.pow,
-                s.dc_bin_back, s.overlapscale, s.preemph)
-            return out[0], state
+            k = frames.shape[0]
+            idx = jnp.arange(k, dtype=jnp.int32)
 
-        self._one_frame = one_frame
+            def step(st, xs):
+                mag_t, l, i = xs
+                new_st, out = eng.step(st, (mag_t, l))
+                ok = i < n_valid
+                st_out = jax.tree.map(lambda a, b: jnp.where(ok, a, b),
+                                      new_st, st)
+                return st_out, jnp.where(ok, out, jnp.zeros_like(out))
+
+            state, xm = jax.lax.scan(step, state,
+                                     (mag, l0 + idx, idx))
+            out = synthesis_frames(
+                xm, phase, s.framelength, s.fftlength, win, s.pow,
+                s.dc_bin_back, s.overlapscale, s.preemph)
+            return out, state
+
+        self._run_block = run_block
+
+    def _flush_pending(self) -> list[np.ndarray]:
+        """Run the queued frames through one jitted scan; returns emitted
+        hop chunks."""
+        if not self._pending:
+            return []
+        s = self._s
+        k = len(self._pending)
+        frames = np.stack(self._pending
+                          + [np.zeros(s.framelength)] * (self._block - k))
+        l0 = self._l - k + 1
+        outs, self.state = self._run_block(
+            jnp.asarray(frames, self.enh.dtype), self.state,
+            jnp.asarray(l0, jnp.int32), jnp.asarray(k, jnp.int32))
+        outs = np.asarray(outs)
+        self._pending = []
+        emitted = []
+        for i in range(k):
+            self._acc += outs[i]
+            if l0 + i > self._delay:
+                emitted.append(self._acc[: s.frameshift].copy())
+            self._acc = np.concatenate(
+                [self._acc[s.frameshift:], np.zeros(s.frameshift)])
+        return emitted
 
     def _process_hop(self, hop: np.ndarray) -> np.ndarray | None:
         s = self._s
         self._queue = np.concatenate([self._queue[s.frameshift:], hop])
         self._l += 1
-        frame_out, self.state = self._one_frame(
-            jnp.asarray(self._queue, self.enh.dtype), self.state,
-            jnp.asarray(self._l, jnp.int32))
-        self._acc += np.asarray(frame_out)
-        emitted = None
-        if self._l > self._delay:
-            emitted = self._acc[: s.frameshift].copy()
-        self._acc = np.concatenate(
-            [self._acc[s.frameshift:], np.zeros(s.frameshift)])
-        return emitted
+        self._pending.append(self._queue.copy())
+        if len(self._pending) < self._block:
+            return None
+        out = self._flush_pending()
+        return np.concatenate(out) if out else None
 
     def push(self, samples: np.ndarray, quantize: bool = True) -> np.ndarray:
         """Feed any number of int16-scale samples; returns the finalized
@@ -95,5 +137,7 @@ class StreamingSession:
             e = self._process_hop(np.zeros(s.frameshift))
             if e is not None:
                 outs.append(e)
+        tail = self._flush_pending()                # drain a partial block
+        outs.extend(tail)
         y = np.concatenate(outs) if outs else np.zeros(0)
         return enhanced_quantize(y) if quantize else y

@@ -67,3 +67,13 @@ def test_streaming_state_continues(enh, m03_wav):
     sess = StreamingSession(enh, state=st)
     got = np.concatenate([sess.push(x), sess.flush()])
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_block_mode_bit_identical(enh, m03_wav):
+    """block_frames=8 amortizes dispatch; outputs stay bit-identical."""
+    x = m03_wav[0][:16000]
+    want = enh.enhance(x)
+    sess = StreamingSession(enh, block_frames=8)
+    got = np.concatenate([sess.push(x), sess.flush()])
+    np.testing.assert_array_equal(got, want)
