@@ -63,3 +63,25 @@ def load_adapted_dictionary(path: str | Path,
         return state
     with np.load(str(path)) as z:
         return state._replace(b_d_head=jnp.asarray(z["b_d_head"], dtype))
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend — sharded/async checkpointing for multi-host runs, where a
+# plain host-local .npz would race across processes.  Same pytree contents.
+# ---------------------------------------------------------------------------
+
+def save_engine_state_orbax(path: str | Path, state: EngineState) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(Path(path).absolute(), dict(state._asdict()), force=True)
+
+
+def load_engine_state_orbax(path: str | Path,
+                            template: EngineState) -> EngineState:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(Path(path).absolute(),
+                                 dict(template._asdict()))
+    return EngineState(**restored)

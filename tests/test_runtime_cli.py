@@ -140,3 +140,51 @@ def test_cli_train(wav_db, tmp_path, capsys):
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["rank"] == 6
     assert (tmp_path / "bdir" / "R_6.npz").exists()
+
+
+@pytest.mark.slow
+def test_orbax_checkpoint_roundtrip(small_enh, tmp_path):
+    from se_snmf_nat_tpu.runtime.checkpoint import (
+        load_engine_state_orbax, save_engine_state_orbax)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(FS) * 3000
+    _, state = small_enh.enhance(x, return_state=True)
+    path = tmp_path / "orbax_ckpt"
+    save_engine_state_orbax(path, state)
+    loaded = load_engine_state_orbax(path, small_enh.initial_state())
+    for f in state._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(state, f)),
+                                      np.asarray(getattr(loaded, f)),
+                                      err_msg=f)
+
+
+def test_shard_files_for_host():
+    from se_snmf_nat_tpu.parallel.distributed import (
+        init_multihost, shard_files_for_host)
+    info = init_multihost()            # single-process no-op
+    assert info["process_count"] == 1
+    files = [f"u{i}.wav" for i in range(10)]
+    shards = [shard_files_for_host(files, pi, 3) for pi in range(3)]
+    assert sorted(sum(shards, [])) == sorted(files)
+    assert not (set(shards[0]) & set(shards[1]))
+
+
+def test_merged_dictionary_state(small_enh):
+    from se_snmf_nat_tpu.parallel.distributed import merged_dictionary_state
+    from se_snmf_nat_tpu.parallel.mesh import make_mesh, data_sharding
+    import jax
+    mesh = make_mesh((8, 1))
+    states = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (8,) + a.shape),
+        small_enh.initial_state())
+    # perturb heads per shard, then merge
+    rng = np.random.default_rng(6)
+    heads = np.stack([np.asarray(states.b_d_head[i]) + rng.random(
+        states.b_d_head[i].shape) for i in range(8)])
+    states = states._replace(b_d_head=jax.device_put(
+        jnp.asarray(heads), data_sharding(mesh, 3, 0)))
+    merged = merged_dictionary_state(states, mesh)
+    want = heads.mean(axis=0)
+    got = np.asarray(merged.b_d_head)
+    for i in range(8):
+        np.testing.assert_allclose(got[i], want, rtol=1e-6)

@@ -171,3 +171,23 @@ def test_dnmf_refit_shapes_and_oracle(train_cfg):
         conv_eps=0.0, random_seed=1, init_w=b[:, :r_x],
         init_h=a_hat[:r_x], h_update_ind=np.zeros(r_x, bool))
     np.testing.assert_allclose(b_hat[:, :r_x], w_ref, rtol=0, atol=1e-10)
+
+
+def test_exemplar_cluster_reduction_e2e(train_cfg, features):
+    """cluster_buff=2: over-sample 2R exemplar columns then k-means-reduce
+    to R (run_basis_train.m:118-134 path)."""
+    from dataclasses import replace
+    cfg = train_cfg.evolve(train=replace(train_cfg.train,
+                                         train_exemplar=True,
+                                         cluster_buff=2))
+    res = train_event_basis(features, cfg, 8, dtype=jnp.float64,
+                            kmeans_rng=np.random.default_rng(0))
+    assert res.basis.b_dft.shape[1] == 8
+    assert res.basis.b_mel.shape[1] == 8
+    # reduced columns are a subset of the over-sampled normalized exemplars
+    idx = exemplar_sample_idx(features.tf_mag.shape[1], 16, seed=1)
+    full = features.tf_mag[:, idx]
+    full = full / np.sqrt((full * full).sum(0)) + 1e-9
+    for col in res.basis.b_dft.T:
+        dists = np.abs(full - col[:, None]).sum(0)
+        assert dists.min() < 1e-9
