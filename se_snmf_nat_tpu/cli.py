@@ -57,10 +57,21 @@ def _build_enhancer(args):
         return OmlsaEnhancer(dtype=dtype)
     if algo == "ms":
         from se_snmf_nat_tpu.enhance.ms import MmseEnhancer
-        return MmseEnhancer(cfg.signal.fs, dtype=dtype)
+        return MmseEnhancer(cfg.signal.fs, dtype=dtype,
+                            tracker=getattr(args, "tracker", "martin"))
     if algo == "pmwf":
         from se_snmf_nat_tpu.multichannel.pmwf import PmwfEnhancer
         return PmwfEnhancer(cfg, dtype=dtype)
+    if algo == "bnmf":
+        # the reference's Bayesian-NMF baseline depends on an external
+        # src/BNMF_nmoh/ package absent from its own repo
+        # (proc_BNMF_nmoh.m:3; SURVEY §7.4) — the CLI slot is kept so
+        # campaigns written against the reference's algorithm grid fail
+        # with a clear message instead of a typo error
+        raise SystemExit(
+            "algorithm 'bnmf' (Mohammadiha TASLP-2013 Bayesian NMF) is not "
+            "available: the reference repo itself lacks its src/BNMF_nmoh/ "
+            "dependency (proc_BNMF_nmoh.m:3)")
     raise SystemExit(f"unknown algorithm {args.algorithm!r}")
 
 
@@ -331,6 +342,9 @@ def _common_enh_args(sp):
     sp.add_argument("--preset", default="snmf_nat")
     sp.add_argument("--dtype", default="float32",
                     choices=["float32", "float64", "bfloat16"])
+    sp.add_argument("--tracker", default="martin",
+                    choices=["martin", "mmse"],
+                    help="MS noise tracker (estnoisem / estnoiseg)")
     sp.add_argument("--speech-basis")
     sp.add_argument("--noise-basis")
 
@@ -345,7 +359,7 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("input")
     e.add_argument("-o", "--output")
     e.add_argument("--algorithm", default="snmf",
-                   choices=["snmf", "imcra", "ms", "pmwf"])
+                   choices=["snmf", "imcra", "ms", "pmwf", "bnmf"])
     _common_enh_args(e)
     e.add_argument("--carry-state", action="store_true", default=True)
     e.add_argument("--no-carry-state", dest="carry_state",

@@ -9,6 +9,7 @@ from se_snmf_nat_tpu.dsp.stft import (
 from se_snmf_nat_tpu.dsp.mel import mel_matrix
 from se_snmf_nat_tpu.dsp.splice import frame_splice
 from se_snmf_nat_tpu.dsp.smoothing import tf_dd
+from se_snmf_nat_tpu.dsp.resample import srconv
 
 __all__ = [
     "sqrt_hann_periodic",
@@ -21,4 +22,5 @@ __all__ = [
     "mel_matrix",
     "frame_splice",
     "tf_dd",
+    "srconv",
 ]

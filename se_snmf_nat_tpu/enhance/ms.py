@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from se_snmf_nat_tpu.oracle.ms_np import MsDerived, MsParams, ms_derived
+from se_snmf_nat_tpu.oracle.ms_np import (
+    MsDerived, MsgParams, MsParams, ms_derived)
 from se_snmf_nat_tpu.utils.matlab_compat import matlab_int16_write
 from se_snmf_nat_tpu.utils.special import (
     bessel_i0_small, bessel_i1_small, expint_e1)
@@ -156,18 +157,66 @@ def init_ms_scan_state(yp0: jnp.ndarray, p: MsParams, d: MsDerived,
         xu=jnp.ones((f,), dtype))
 
 
+class MsgScanState(NamedTuple):
+    """MMSE-SPP tracker carry (estnoiseg.m rebuild) + the gain's xu."""
+
+    xt: jnp.ndarray      # (F,) noise PSD estimate
+    pslp: jnp.ndarray    # (F,) smoothed speech-presence probability
+    xu: jnp.ndarray      # (F,) unsmoothed prior SNR carry
+
+
+def make_msg_step(p: MsParams, g: MsgParams, d: MsDerived, dtype=jnp.float32):
+    """Fused MMSE-SPP noise tracking (estnoiseg.m:120-137; the reference
+    ships this tracker caller-less — here it is a selectable alternative to
+    minimum statistics) + the same MMSE gain chain."""
+    tinc = d.tinc
+    ax = np.exp(-tinc / g.tax)
+    ap = np.exp(-tinc / g.tap)
+    xih1 = 10.0 ** (g.asnr / 10.0)
+    xih1r = 1.0 / (1.0 + xih1) - 1.0
+    pfac = (1.0 / g.pspri - 1.0) * (1.0 + xih1)
+    a = d.a
+
+    def step(st: MsgScanState, yft):
+        ph1y = 1.0 / (1.0 + pfac * jnp.exp(xih1r * yft / st.xt))
+        pslp = ap * st.pslp + (1 - ap) * ph1y
+        ph1y = jnp.minimum(ph1y, 1.0 - g.pnsaf * (pslp > g.psthr))
+        xtr = (1.0 - ph1y) * yft + ph1y * st.xt
+        xt = ax * st.xt + (1 - ax) * xtr
+
+        gam = jnp.minimum(yft / xt, p.gx)
+        xi = a * st.xu + (1 - a) * jnp.maximum(gam - 1.0, p.xn)
+        xir = xi / (1.0 + xi)
+        arg = jnp.maximum(xir * gam, 1e-35)
+        gi = xir * jnp.exp(0.5 * expint_e1(arg))
+        xu = gam * gi * gi
+        return MsgScanState(xt=xt, pslp=pslp, xu=xu), gi
+
+    return step
+
+
 class MmseEnhancer:
-    """Chunk-capable MMSE/log-MMSE enhancer (the reference GUI's MS mode)."""
+    """Chunk-capable MMSE/log-MMSE enhancer (the reference GUI's MS mode).
+
+    tracker: 'martin' (minimum statistics, estnoisem — the reference's live
+    choice) or 'mmse' (MMSE-SPP, estnoiseg).
+    """
 
     def __init__(self, fs: int = 16000, params: MsParams | None = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, tracker: str = "martin",
+                 msg_params: MsgParams | None = None):
         self.p = params or MsParams()
         self.fs = fs
         self.d = ms_derived(self.p, fs)
         self.dtype = dtype
+        self.tracker = tracker
+        self.g = msg_params or MsgParams()
         d, p = self.d, self.p
         win = jnp.asarray(d.win, dtype)
-        step = make_ms_step(p, d, dtype)
+        if tracker == "mmse":
+            step = make_msg_step(p, self.g, d, dtype)
+        else:
+            step = make_ms_step(p, d, dtype)
         ni, nf = d.ni, d.nf
         no = int(round(p.of))
 
@@ -217,9 +266,21 @@ class MmseEnhancer:
         frames = jnp.asarray(s[idx], self.dtype)
         if st.scan is None:
             win = d.win
-            y0 = np.fft.rfft(s[idx[0]] * win, nf)
-            yp0 = jnp.asarray((y0 * np.conj(y0)).real, self.dtype)
-            scan0 = init_ms_scan_state(yp0, self.p, d, self.dtype)
+            if self.tracker == "mmse":
+                # estnoiseg.m:122-124 init: psini * mean of the first
+                # ~tavini seconds of frames
+                n0 = max(1, min(nr, int(round(1 + self.g.tavini / d.tinc))))
+                y0 = np.fft.rfft(s[idx[:n0]] * win[None, :], nf, axis=1)
+                yp0 = (y0 * np.conj(y0)).real
+                scan0 = MsgScanState(
+                    xt=jnp.asarray(self.g.psini * yp0.mean(axis=0),
+                                   self.dtype),
+                    pslp=jnp.full((nf // 2 + 1,), self.g.psini, self.dtype),
+                    xu=jnp.ones((nf // 2 + 1,), self.dtype))
+            else:
+                y0 = np.fft.rfft(s[idx[0]] * win, nf)
+                yp0 = jnp.asarray((y0 * np.conj(y0)).real, self.dtype)
+                scan0 = init_ms_scan_state(yp0, self.p, d, self.dtype)
         else:
             scan0 = st.scan
         ss, scan_out = self._run(frames, scan0)

@@ -4,11 +4,11 @@ src/PSD_cov_mat.m, src/PMWF_sep_event_RT_CHiME.m — dead in the reference
 only because settings left p.BETA/p.GAMMA undefined; the algorithms are
 fully specified and rebuilt here with working defaults, SURVEY §7.4)."""
 
-from se_snmf_nat_tpu.multichannel.ntf import khatri_rao, ntf_solve, NtfResult
+from se_snmf_nat_tpu.multichannel.ntf import khatri_rao, ntf_solve, NtfResult, ten2mat
 from se_snmf_nat_tpu.multichannel.pmwf import (
     PmwfParams, PmwfEnhancer, spectro_temporal_cov, pmwf_filters)
 
 __all__ = [
-    "khatri_rao", "ntf_solve", "NtfResult",
+    "khatri_rao", "ntf_solve", "NtfResult", "ten2mat",
     "PmwfParams", "PmwfEnhancer", "spectro_temporal_cov", "pmwf_filters",
 ]

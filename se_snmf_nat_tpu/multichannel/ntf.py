@@ -115,3 +115,10 @@ def ntf_solve(s_mag: jnp.ndarray, b: jnp.ndarray, c0: jnp.ndarray,
     xh, _ = xhat_p(c, a)
     div, cost = cost_of(c, xh)
     return NtfResult(c=c, a=a, iters=it, div=div, cost=cost)
+
+
+def ten2mat(t: jnp.ndarray) -> jnp.ndarray:
+    """(n, r, h) tensor -> (n, r*h) frontal-slice concatenation
+    (src/ten2mat.m: columns of slice k occupy block k)."""
+    n, r, h = t.shape
+    return jnp.transpose(t, (0, 2, 1)).reshape(n, r * h)

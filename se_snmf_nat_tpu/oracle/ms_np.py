@@ -262,3 +262,51 @@ def ssubmmse_np(s: np.ndarray, fs: int, p: MsParams | None = None,
                          ze=ze, xu=xu)
         return ss[:emitted], out_state
     return ss, dict(ssv=ssv, si=s, ze=ze, xu=xu)
+
+
+# ---------------------------------------------------------------------------
+# MMSE-SPP noise tracker (Gerkmann/Hendriks; src/MS/estnoiseg.m — present in
+# the reference but caller-less; rebuilt as a selectable tracker)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MsgParams:
+    """estnoiseg.m:86-94 defaults."""
+
+    tax: float = 0.0717     # noise output smoothing time constant (8)
+    tap: float = 0.152      # speech-prob smoothing time constant (23)
+    psthr: float = 0.99     # smoothed speech-prob threshold (24)
+    pnsaf: float = 0.01     # noise probability safety value (24)
+    pspri: float = 0.5      # prior speech probability (18)
+    asnr: float = 15.0      # active SNR in dB (18)
+    psini: float = 0.5      # initial speech probability (23)
+    tavini: float = 0.064   # assumed speech-absent time at start
+
+
+def estnoiseg_np(yp: np.ndarray, tinc: float, p: MsgParams | None = None,
+                 state: dict | None = None) -> tuple[np.ndarray, dict]:
+    """yp: (T, F) power spectra -> (noise PSD per frame, state)."""
+    p = p or MsgParams()
+    nr, nrf = yp.shape
+    ax = np.exp(-tinc / p.tax)
+    ap = np.exp(-tinc / p.tap)
+    xih1 = 10.0 ** (p.asnr / 10.0)
+    xih1r = 1.0 / (1.0 + xih1) - 1.0
+    pfac = (1.0 / p.pspri - 1.0) * (1.0 + xih1)
+    if state is None:
+        n0 = max(1, min(nr, int(round(1 + p.tavini / tinc))))
+        xt = p.psini * yp[:n0].mean(axis=0)
+        pslp = np.full(nrf, p.psini)
+    else:
+        xt = state["xt"].copy()
+        pslp = state["pslp"].copy()
+    x = np.zeros_like(yp)
+    for t in range(nr):
+        yft = yp[t]
+        ph1y = 1.0 / (1.0 + pfac * np.exp(xih1r * yft / xt))
+        pslp = ap * pslp + (1 - ap) * ph1y
+        ph1y = np.minimum(ph1y, 1.0 - p.pnsaf * (pslp > p.psthr))
+        xtr = (1.0 - ph1y) * yft + ph1y * xt
+        xt = ax * xt + (1 - ax) * xtr
+        x[t] = xt
+    return x, {"xt": xt, "pslp": pslp}

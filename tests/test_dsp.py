@@ -126,3 +126,29 @@ def test_tf_dd_numpy_vs_jax():
     want = tf_dd(x, a)
     got = np.asarray(tf_dd_jax(jnp.asarray(x.T), a)).T
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_srconv_rational():
+    from se_snmf_nat_tpu.dsp.resample import srconv
+    fs_in, fs_out = 48000, 16000
+    t = np.arange(fs_in) / fs_in
+    x = np.sin(2 * np.pi * 440 * t)
+    y = srconv(x, fs_in, fs_out)
+    assert len(y) == fs_out
+    t2 = np.arange(fs_out) / fs_out
+    want = np.sin(2 * np.pi * 440 * t2)
+    # interior agreement (edges have filter transients)
+    sl = slice(fs_out // 10, -fs_out // 10)
+    assert np.abs(y[sl] - want[sl]).max() < 1e-3
+    np.testing.assert_array_equal(srconv(x, fs_in, fs_in), x)
+
+
+def test_ten2mat_unfolding():
+    import jax.numpy as jnp
+    from se_snmf_nat_tpu.multichannel import ten2mat
+    rng = np.random.default_rng(0)
+    t = rng.random((4, 3, 2))
+    m = np.asarray(ten2mat(jnp.asarray(t)))
+    # MATLAB: TF_mat(:, 1+(i-1)*r : i*r) = TF_ten(:,:,i)
+    np.testing.assert_array_equal(m[:, 0:3], t[:, :, 0])
+    np.testing.assert_array_equal(m[:, 3:6], t[:, :, 1])

@@ -102,3 +102,50 @@ def test_enhancement_reduces_noise(clip):
     n = min(len(out), len(x))
     assert np.sqrt(np.mean(out[:n].astype(float) ** 2)) \
         < np.sqrt(np.mean(x[:n] ** 2))
+
+
+@pytest.mark.slow
+def test_mmse_spp_tracker_matches_oracle(clip):
+    """tracker='mmse' (estnoiseg rebuild): scan vs numpy oracle chain."""
+    import numpy as np
+    from se_snmf_nat_tpu.enhance.ms import MmseEnhancer
+    from se_snmf_nat_tpu.oracle.ms_np import (
+        MsgParams, MsParams, estnoiseg_np, ms_derived)
+    from scipy.special import exp1
+    x, fs = clip
+    p, g = MsParams(), MsgParams()
+    d = ms_derived(p, fs)
+    ni, nf = d.ni, d.nf
+    nr = (len(x) - nf + ni) // ni
+    idx = ni * np.arange(nr)[:, None] + np.arange(nf)[None, :]
+    y = x[idx] * d.win[None, :]
+    yf = np.fft.rfft(y, nf, axis=1)
+    yp = (yf * np.conj(yf)).real
+    dp, _ = estnoiseg_np(yp, d.tinc, g)
+    gam = np.minimum(yp / dp, p.gx)
+    xu = 1.0
+    gains = np.zeros_like(gam)
+    for i in range(nr):
+        xi = d.a * xu + (1 - d.a) * np.maximum(gam[i] - 1, 0.0)
+        xir = xi / (1 + xi)
+        gi = xir * np.exp(0.5 * exp1(np.maximum(xir * gam[i], 1e-300)))
+        gains[i] = gi
+        xu = gam[i] * gi ** 2
+    se = np.fft.irfft(yf * gains, nf, axis=1) * d.win[None, :]
+    want = np.zeros(ni * (nr + 1))
+    for i in range(nr):
+        want[i * ni: i * ni + nf] += se[i]
+
+    got = MmseEnhancer(fs, dtype=jnp.float64, tracker="mmse").enhance(
+        x, quantize=False)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_tracker_choice_changes_output(clip):
+    from se_snmf_nat_tpu.enhance.ms import MmseEnhancer
+    x, fs = clip
+    a = MmseEnhancer(fs, dtype=jnp.float64, tracker="martin").enhance(x)
+    b = MmseEnhancer(fs, dtype=jnp.float64, tracker="mmse").enhance(x)
+    assert a.shape == b.shape
+    assert not np.array_equal(a, b)

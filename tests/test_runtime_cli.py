@@ -188,3 +188,9 @@ def test_merged_dictionary_state(small_enh):
     got = np.asarray(merged.b_d_head)
     for i in range(8):
         np.testing.assert_allclose(got[i], want, rtol=1e-6)
+
+
+def test_cli_bnmf_slot_clear_error(capsys):
+    with pytest.raises(SystemExit) as e:
+        cli_main(["enhance", "x.wav", "--algorithm", "bnmf"])
+    assert "BNMF_nmoh" in str(e.value)
