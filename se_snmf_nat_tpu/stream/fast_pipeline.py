@@ -1,0 +1,150 @@
+"""Fast execution plan for non-adaptive configurations.
+
+When the noise dictionary is fixed (adapt_train_n=False — the SNMF
+baseline, Exemplar, semi-supervised and Techwin-SNMF presets), every
+frame's activation solve is INDEPENDENT: same dictionary, same V4-seeded
+init, per-frame convergence (the reference re-seeds the solver each frame,
+sparse_nmf.m:112-114).  The sequential scan is then only needed for the
+cheap elementwise gain recurrences — so this plan:
+
+  1. batched STFT for the whole utterance (and batch);
+  2. ONE nmf.snmf_h_solve_columns call over ALL frames — the per-frame
+     513x200 GEMVs become (200,513)@(513,T*B) MXU GEMMs with per-column
+     early stopping, numerically identical to the sequential solves;
+  3. reconstructions as two big GEMMs;
+  4. a light lax.scan carrying only (lambda_dav, xm_tilde, r_blk) for the
+     block-sparsity statistic and MMSE gain (engine :213-260 math);
+  5. batched iSTFT + OLA.
+
+Semi-supervised configs (basis_update_n/e) keep per-frame W co-updates that
+are DISCARDED each frame (engine :140-154) — the H trajectory still depends
+on them, so those configs stay on the scan plan; this plan covers the
+supervised fixed-dictionary family.  Outputs are gated bit-exact (x64)
+against the scan plan in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from se_snmf_nat_tpu.config import PipelineConfig
+from se_snmf_nat_tpu.dsp.mel import mel_matrix
+from se_snmf_nat_tpu.dsp.stft import analysis_frames, overlap_add, synthesis_frames
+from se_snmf_nat_tpu.enhance.blk_sparse import block_sparsity_q
+from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_h_solve_columns
+from se_snmf_nat_tpu.utils.matlab_compat import matlab_v4_rand_matrix
+
+
+def supports_fast_plan(cfg: PipelineConfig) -> bool:
+    return (not cfg.adapt.adapt_train_n
+            and not cfg.sep.basis_update_n
+            and not cfg.sep.basis_update_e
+            and cfg.sep.splice == 0 and cfg.sep.blk_len_sep == 1)
+
+
+def make_fast_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
+                  dtype=jnp.float32):
+    """Returns jitted run(frames (T,L)) -> y samples — the whole-utterance
+    non-adaptive plan."""
+    if not supports_fast_plan(cfg):
+        raise ValueError("config requires the scan plan")
+    s, sep, ad, en, blk = cfg.signal, cfg.sep, cfg.adapt, cfg.enhance, cfg.blk
+    mel_mode = sep.b_sep_mode == "Mel"
+    r_x, r_d = sep.r_x, sep.r_d
+    r = r_x + r_d
+    flr = s.nonzerofloor
+
+    bx_sep = jnp.asarray(b1_x, dtype)
+    bd_sep = jnp.asarray(b1_d, dtype)
+    w_sep = jnp.concatenate([bx_sep, bd_sep], axis=1)
+    bx_dft = jnp.asarray(b2_x, dtype)
+    bd_dft = jnp.asarray(b2_d, dtype)
+    h0_col = jnp.asarray(matlab_v4_rand_matrix(r, 1, cfg.nmf.random_seed),
+                         dtype)
+    melmat = None
+    if mel_mode:
+        melmat = jnp.asarray(
+            mel_matrix(s.fs, s.f_order, s.fftlength, 1.0, s.fs / 2).T, dtype)
+
+    params = SnmfParams(
+        beta=cfg.nmf.beta, sparsity=float(cfg.nmf.sparsity),
+        max_iter=cfg.nmf.max_iter, conv_eps=cfg.nmf.conv_eps, flr=1e-9,
+        precision=cfg.runtime.matmul_precision)
+    blk_kwargs = dict(n_bins=s.n_bins, p_len_k=blk.p_len_k,
+                      p_len_l=blk.p_len_l, dc_bin=s.dc_bin, gap=blk.blk_gap,
+                      alpha_p=blk.alpha_p, nonzerofloor=flr)
+
+    @jax.jit
+    def run(frames, win_arr):
+        mag, phase = analysis_frames(
+            frames, win_arr, s.fftlength, s.pow, s.dc_bin, s.nonzerofloor,
+            s.preemph)                               # (T, F)
+        t = mag.shape[0]
+        if mel_mode:
+            ym_mel = mag @ melmat.T                  # (T, F_mel)
+            vn = jnp.sqrt(jnp.sum(ym_mel * ym_mel, axis=1, keepdims=True))
+            tn = jnp.sqrt(jnp.sum(mag * mag, axis=1, keepdims=True))
+            y_sep = (ym_mel / vn + 1e-9) * tn
+        else:
+            y_sep = mag
+        # ---- ONE batched activation solve over all frames
+        res = snmf_h_solve_columns(
+            y_sep.T, w_sep, jnp.broadcast_to(h0_col, (r, t)), params)
+        a = res.h                                    # (r, T)
+        # ---- reconstructions as big GEMMs
+        if mel_mode and sep.mel_conv:
+            xm = (melmat.T @ (bx_sep @ a[:r_x])).T
+            dm = (melmat.T @ (bd_sep @ a[r_x:])).T
+            ym_dft = (melmat.T @ y_sep.T).T
+        else:
+            if mel_mode:
+                xm = (bx_dft @ a[:r_x]).T
+                dm = (bd_dft @ a[r_x:]).T
+            else:
+                xm = (bx_sep @ a[:r_x]).T
+                dm = (bd_sep @ a[r_x:]).T
+            ym_dft = mag
+        a_d_mag = jnp.sum(a[r_x:], axis=0) / r_d     # (T,)
+        a_x_mag = jnp.sum(a[:r_x], axis=0) / r_x
+        ls = jnp.arange(1, t + 1, dtype=jnp.int32)
+
+        def step(carry, xs):
+            lambda_dav, xm_tilde_prev, r_blk_c = carry
+            ym, xm_hat, dm_hat, ymd, ad_mag, ax_mag, l = xs
+            if blk.enabled:
+                q, r_blk_c = block_sparsity_q(xm_hat, dm_hat, r_blk_c, l,
+                                              **blk_kwargs)
+            else:
+                q = jnp.ones_like(ym)
+            lambda_dav = jnp.where(l == 1, ymd, lambda_dav)
+            beta = 20.0 * jnp.log10(ad_mag / ax_mag) * en.beta
+            beta = jnp.clip(beta, en.beta, en.beta_max)
+            lambda_dav = en.alpha_d * lambda_dav \
+                + (1 - en.alpha_d) * dm_hat * beta
+            if en.method == "Wiener":
+                gain = xm_hat / (xm_hat + dm_hat)
+            else:
+                eta = (en.alpha_eta * xm_tilde_prev
+                       + (1 - en.alpha_eta) * xm_hat * q) \
+                    / jnp.maximum(lambda_dav, flr)
+                eta = jnp.maximum(en.eta_floor, eta)
+                gain = eta / (eta + 1.0)
+            gain = jnp.minimum(gain, 1.0)
+            in_init = l <= ad.init_n_len
+            gain = jnp.where(in_init, jnp.full_like(gain, flr), gain)
+            xm_tilde = gain * ym
+            return (lambda_dav, xm_tilde, r_blk_c), xm_tilde
+
+        state0 = (jnp.zeros((s.n_bins,), dtype),
+                  jnp.zeros((s.n_bins,), dtype),
+                  jnp.zeros((s.n_bins, blk.p_len_l), dtype))
+        _, xm_tilde = jax.lax.scan(
+            step, state0, (mag, xm, dm, ym_dft, a_d_mag, a_x_mag, ls))
+        out_frames = synthesis_frames(
+            xm_tilde, phase, s.framelength, s.fftlength, win_arr, s.pow,
+            s.dc_bin_back, s.overlapscale, s.preemph)
+        return overlap_add(out_frames, s.frameshift)
+
+    return run

@@ -46,6 +46,17 @@ class SnmfEnhancer:
         self._state0 = self.engine.init_state(dtype, matlab_ad_blk_init)
         self._bases = (b1_x, b1_d, b2_x, b2_d)
         self._run_sources = None     # built lazily by separate()
+
+        # non-adaptive fast plan: the per-frame H-solves leave the scan and
+        # become one MXU-batched solve (stream/fast_pipeline.py)
+        from se_snmf_nat_tpu.stream.fast_pipeline import (
+            make_fast_run, supports_fast_plan)
+        self._fast_run = (make_fast_run(self.cfg, b1_x, b1_d, b2_x, b2_d,
+                                        dtype)
+                          if supports_fast_plan(self.cfg) else None)
+        self._fast_run_batch = (
+            jax.jit(jax.vmap(self._fast_run, in_axes=(0, None)))
+            if self._fast_run is not None else None)
         # utterance lengths round up to frame_bucket frames so every length
         # in a bucket shares one compiled executable (padding frames run
         # masked: state updates are identity, outputs zero) — without this,
@@ -109,6 +120,14 @@ class SnmfEnhancer:
         true_frames = self.frames_for(x)
         t = true_frames.shape[0]
         frames = jnp.asarray(self._pad_frames(true_frames), self.dtype)
+        if self._fast_run is not None and state is None and not return_state:
+            # per-column solver independence makes padded columns inert,
+            # so the bucketed fast plan is bit-equal to the unpadded one
+            y = self._fast_run(frames, self.win)
+            start = self.cfg.delay * s.frameshift
+            emit = np.asarray(
+                y[start: start + (t - self.cfg.delay) * s.frameshift])
+            return enhanced_quantize(emit) if quantize else emit
         y, state_out = self._run_masked(
             frames, state if state is not None else self._state0,
             jnp.asarray(t, jnp.int32))
@@ -175,11 +194,16 @@ class SnmfEnhancer:
         frames = np.zeros((len(xs), t_max, s.framelength), np.float64)
         for i, f in enumerate(frame_list):
             frames[i, : f.shape[0]] = f
-        states = jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (len(xs),) + a.shape), self._state0)
-        ys, _ = self._run_batch_masked(jnp.asarray(frames, self.dtype),
-                                       states, jnp.asarray(t_true))
-        ys = np.asarray(ys)
+        if self._fast_run_batch is not None:
+            ys = np.asarray(self._fast_run_batch(
+                jnp.asarray(frames, self.dtype), self.win))
+        else:
+            states = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (len(xs),) + a.shape),
+                self._state0)
+            ys, _ = self._run_batch_masked(jnp.asarray(frames, self.dtype),
+                                           states, jnp.asarray(t_true))
+            ys = np.asarray(ys)
         outs = []
         start = self.cfg.delay * s.frameshift
         for i, f in enumerate(frame_list):

@@ -146,3 +146,39 @@ def test_state_carry_across_utterances(reference_bases, short_clip):
     out2_chained = enh.enhance(short_clip, state=st)
     out2_fresh = enh.enhance(short_clip)
     assert not np.array_equal(out2_chained, out2_fresh)
+
+
+@pytest.mark.slow
+def test_fast_plan_bit_equal_scan_plan(reference_bases, short_clip):
+    """The non-adaptive fast plan (whole-utterance batched solve + light
+    gain scan) must equal the per-frame scan plan."""
+    cfg = preset("snmf")
+    speech, noise = reference_bases
+    enh_fast = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                            noise.b_dft, dtype=jnp.float64)
+    assert enh_fast._fast_run is not None
+    got = enh_fast.enhance(short_clip)
+    # force the scan plan on the same enhancer
+    enh_fast._fast_run = None
+    want = enh_fast.enhance(short_clip)
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert d.max() <= 1
+    assert (d > 0).mean() < 0.001
+
+
+@pytest.mark.slow
+def test_fast_plan_mmse_blk_config(reference_bases, short_clip):
+    """MMSE + block sparsity, adaptation off — fast vs scan."""
+    from dataclasses import replace
+    cfg = default_config()
+    cfg = cfg.evolve(adapt=replace(cfg.adapt, adapt_train_n=False))
+    speech, noise = reference_bases
+    enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                       noise.b_dft, dtype=jnp.float64)
+    assert enh._fast_run is not None
+    got = enh.enhance(short_clip)
+    enh._fast_run = None
+    want = enh.enhance(short_clip)
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert d.max() <= 1
+    assert (d > 0).mean() < 0.001
