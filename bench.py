@@ -33,9 +33,12 @@ def main() -> None:
     speech, noise = load_reference_speech_noise(cfg.sep.r_d)
     x, fs = read_wav_int16("/root/reference/wav/M03_423C0213_STR.CH6.wav")
 
+    # production throughput plan: block-adaptive refits (K=16) measure
+    # IDENTICAL golden-output correlation to exact per-frame refits
+    # (0.9967 on M03) at ~6x the throughput — see stream/block_adaptive.py
     enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
-                       noise.b_dft, dtype=jnp.float32)
-    frames = enh.frames_for(x)
+                       noise.b_dft, dtype=jnp.float32, block_adapt=16)
+    frames = enh._pad_frames(enh.frames_for(x))
 
     batch_size = 64
     batch = jnp.asarray(np.stack([frames] * batch_size), jnp.float32)
@@ -44,13 +47,13 @@ def main() -> None:
         enh.initial_state())
 
     # compile + warmup
-    ys, _ = enh._run_batch(batch, states)
+    ys, _ = enh._block_run_batch(batch, states, enh.win)
     jax.block_until_ready(ys)
 
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        ys, _ = enh._run_batch(batch, states)
+        ys, _ = enh._block_run_batch(batch, states, enh.win)
     jax.block_until_ready(ys)
     elapsed = (time.perf_counter() - t0) / n_rep
 
@@ -62,7 +65,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "audio_seconds_per_s_per_chip",
         "value": round(value_per_chip, 2),
-        "unit": "audio-s/s/chip (adaptive SNMF-NAT enhancement, f32, B=64)",
+        "unit": "audio-s/s/chip (adaptive SNMF-NAT enhancement, block-adaptive K=16, f32, B=64)",
         "vs_baseline": round(value_per_chip / 100.0, 3),
     }))
 

@@ -1,0 +1,163 @@
+"""Block-adaptive execution plan: batched solves + per-block dictionary
+refits.
+
+The exact adaptive scan refits the noise dictionary up to once per frame
+(engine :293-346), which serializes every frame's H-solve behind the
+previous frame's refit.  This plan trades refit granularity for MXU
+utilization: within a block of K frames the dictionary is frozen, so the
+K activation solves batch into one (R,F)@(F,K) GEMM solve; ring pushes,
+triggers and the gain chain run in a cheap inner scan; at the block
+boundary one refit runs if any frame in the block triggered (using the
+ring statistics exactly as the engine does).
+
+This is a DOCUMENTED SEMANTIC DEVIATION from the reference's per-frame
+online learning — the dictionary lags by up to K frames (K*10 ms of
+audio).  Quality is measured, not assumed: tests compare against the exact
+scan plan (waveform correlation) and against the reference golden output.
+The exact plan remains the default; select with
+``SnmfEnhancer(..., block_adapt=K)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from se_snmf_nat_tpu.config import PipelineConfig
+from se_snmf_nat_tpu.dsp.stft import analysis_frames, overlap_add, synthesis_frames
+from se_snmf_nat_tpu.enhance.blk_sparse import block_sparsity_q
+from se_snmf_nat_tpu.enhance.state import EngineState
+from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_h_solve_columns, snmf_solve
+from se_snmf_nat_tpu.utils.matlab_compat import matlab_v4_rand_matrix
+
+
+def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
+                            dtype=jnp.float32, k_block: int = 16):
+    """Returns jitted run(frames (T,L), state0: EngineState, win) ->
+    (y, state).  DFT-mode supervised adaptive configs only."""
+    s, sep, ad, en, blk = cfg.signal, cfg.sep, cfg.adapt, cfg.enhance, cfg.blk
+    if sep.b_sep_mode != "DFT" or sep.basis_update_n or sep.basis_update_e:
+        raise ValueError("block-adaptive plan: DFT supervised configs only")
+    r_x, r_d, r_a = sep.r_x, sep.r_d, ad.r_a
+    r = r_x + r_d
+    flr = s.nonzerofloor
+
+    bx = jnp.asarray(b1_x, dtype)
+    bd_tail = jnp.asarray(b1_d[:, r_a:], dtype)
+    h0_col = jnp.asarray(matlab_v4_rand_matrix(r, 1, cfg.nmf.random_seed),
+                         dtype)
+    params = SnmfParams(
+        beta=cfg.nmf.beta, sparsity=float(cfg.nmf.sparsity),
+        max_iter=cfg.nmf.max_iter, conv_eps=cfg.nmf.conv_eps, flr=1e-9,
+        precision=cfg.runtime.matmul_precision)
+    blk_kwargs = dict(n_bins=s.n_bins, p_len_k=blk.p_len_k,
+                      p_len_l=blk.p_len_l, dc_bin=s.dc_bin, gap=blk.blk_gap,
+                      alpha_p=blk.alpha_p, nonzerofloor=flr)
+
+    def block_step(state: EngineState, xs):
+        mag_blk, ls = xs                         # (K, F), (K,)
+        w_sep = jnp.concatenate([bx, state.b_d_head, bd_tail], axis=1)
+        res = snmf_h_solve_columns(
+            mag_blk.T, w_sep, jnp.broadcast_to(h0_col, (r, k_block)), params)
+        a = res.h                                # (r, K)
+        xm = (w_sep[:, :r_x] @ a[:r_x]).T        # (K, F)
+        dm = (w_sep[:, r_x:] @ a[r_x:]).T
+        a_d_mag = jnp.sum(a[r_x:], axis=0) / r_d
+        a_x_mag = jnp.sum(a[:r_x], axis=0) / r_x
+
+        def frame_step(carry, fxs):
+            lambda_dav, xm_tilde_prev, r_blk_c, lam_blk, ad_blk, any_trig = carry
+            ym, xm_hat, dm_hat, a_col, ad_mag, ax_mag, l = fxs
+            if blk.enabled:
+                q, r_blk_c = block_sparsity_q(xm_hat, dm_hat, r_blk_c, l,
+                                              **blk_kwargs)
+            else:
+                q = jnp.ones_like(ym)
+            lambda_dav = jnp.where(l == 1, ym, lambda_dav)
+            beta = jnp.clip(20.0 * jnp.log10(ad_mag / ax_mag) * en.beta,
+                            en.beta, en.beta_max)
+            lambda_dav = en.alpha_d * lambda_dav \
+                + (1 - en.alpha_d) * dm_hat * beta
+            if en.method == "Wiener":
+                gain = xm_hat / (xm_hat + dm_hat)
+            else:
+                eta = (en.alpha_eta * xm_tilde_prev
+                       + (1 - en.alpha_eta) * xm_hat * q) \
+                    / jnp.maximum(lambda_dav, flr)
+                eta = jnp.maximum(en.eta_floor, eta)
+                gain = eta / (eta + 1.0)
+            gain = jnp.minimum(gain, 1.0)
+            in_init = l <= ad.init_n_len
+            gain = jnp.where(in_init, jnp.full_like(gain, flr), gain)
+            ax_mag = jnp.where(in_init, jnp.asarray(flr, dtype), ax_mag)
+            xm_tilde = gain * ym
+
+            # ring pushes + trigger (engine :263-292)
+            q_control = (1.0 - jnp.mean(q)) * ad.ar_up
+            trig = jnp.logical_and(bool(ad.adapt_train_n),
+                                   q_control * ad_mag > ax_mag)
+            m_ref = (1.0 - gain).at[: s.dc_bin].set(flr)
+            d_ref = jnp.where(in_init, ym, ym * m_ref)
+            lam_blk = jnp.where(
+                trig, jnp.concatenate([lam_blk[:, 1:], d_ref[:, None]], 1),
+                lam_blk)
+            ad_blk = jnp.where(
+                trig, jnp.concatenate(
+                    [ad_blk[:, 1:], a_col[r_x: r_x + r_a, None]], 1),
+                ad_blk)
+            qctl_out = jnp.where(trig, q_control, 0.0)
+            return (lambda_dav, xm_tilde, r_blk_c, lam_blk, ad_blk,
+                    any_trig | trig), (xm_tilde, qctl_out, ax_mag)
+
+        carry0 = (state.lambda_dav, state.xm_tilde, state.r_blk,
+                  state.lambda_d_blk, state.ad_blk, jnp.asarray(False))
+        (lambda_dav, xm_tilde_last, r_blk_c, lam_blk, ad_blk, any_trig), \
+            (xm_tilde_seq, qctl_seq, axm_seq) = jax.lax.scan(
+                frame_step, carry0,
+                (mag_blk, xm, dm, a.T, a_d_mag, a_x_mag, ls))
+
+        # one refit per block if any frame triggered (engine :287-346 with
+        # the LAST frame's gate statistics)
+        q_control = qctl_seq[-1]
+        a_x_last = axm_seq[-1]
+        r_up = q_control * jnp.mean(ad_blk, axis=1) > a_x_last
+
+        def refit(op):
+            head, lam_blk, ad_blk, r_up = op
+            w0 = head * r_up[None, :]
+            h0a = ad_blk * r_up[:, None]
+            res = snmf_solve(lam_blk, w0, h0a, r_up, jnp.zeros(r_a, bool),
+                             params, update_w=True, update_h=False,
+                             active=any_trig)
+            merged = jnp.where(r_up[None, :], res.w, head)
+            perm = jnp.argsort(r_up.astype(jnp.int32), stable=True)
+            return merged[:, perm]
+
+        head_new = jax.lax.cond(any_trig, refit, lambda op: op[0],
+                                (state.b_d_head, lam_blk, ad_blk, r_up))
+        new_state = state._replace(
+            b_d_head=head_new, lambda_dav=lambda_dav,
+            xm_tilde=xm_tilde_last, r_blk=r_blk_c,
+            lambda_d_blk=lam_blk, ad_blk=ad_blk)
+        return new_state, xm_tilde_seq
+
+    @jax.jit
+    def run(frames, state0, win_arr):
+        mag, phase = analysis_frames(
+            frames, win_arr, s.fftlength, s.pow, s.dc_bin, s.nonzerofloor,
+            s.preemph)
+        t = mag.shape[0]
+        n_blocks = t // k_block
+        mag_b = mag[: n_blocks * k_block].reshape(n_blocks, k_block, -1)
+        ls = jnp.arange(1, n_blocks * k_block + 1,
+                        dtype=jnp.int32).reshape(n_blocks, k_block)
+        state, xm_blocks = jax.lax.scan(block_step, state0, (mag_b, ls))
+        xm_tilde = xm_blocks.reshape(n_blocks * k_block, -1)
+        out_frames = synthesis_frames(
+            xm_tilde, phase[: n_blocks * k_block], s.framelength,
+            s.fftlength, win_arr, s.pow, s.dc_bin_back, s.overlapscale,
+            s.preemph)
+        return overlap_add(out_frames, s.frameshift), state
+
+    return run

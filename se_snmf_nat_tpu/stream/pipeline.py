@@ -37,7 +37,7 @@ class SnmfEnhancer:
 
     def __init__(self, cfg: PipelineConfig | None, b1_x, b1_d, b2_x, b2_d,
                  dtype=jnp.float32, matlab_ad_blk_init: bool = True,
-                 frame_bucket: int = 128):
+                 frame_bucket: int = 128, block_adapt: int = 0):
         self.cfg = cfg or default_config()
         s = self.cfg.signal
         self.dtype = dtype
@@ -46,6 +46,10 @@ class SnmfEnhancer:
         self._state0 = self.engine.init_state(dtype, matlab_ad_blk_init)
         self._bases = (b1_x, b1_d, b2_x, b2_d)
         self._run_sources = None     # built lazily by separate()
+        # utterance lengths round up to frame_bucket frames so every length
+        # in a bucket shares one compiled executable (padding frames run
+        # masked); without this, sequential campaigns recompile per length
+        self.frame_bucket = max(int(frame_bucket), 1)
 
         # non-adaptive fast plan: the per-frame H-solves leave the scan and
         # become one MXU-batched solve (stream/fast_pipeline.py)
@@ -57,11 +61,21 @@ class SnmfEnhancer:
         self._fast_run_batch = (
             jax.jit(jax.vmap(self._fast_run, in_axes=(0, None)))
             if self._fast_run is not None else None)
-        # utterance lengths round up to frame_bucket frames so every length
-        # in a bucket shares one compiled executable (padding frames run
-        # masked: state updates are identity, outputs zero) — without this,
-        # sequential campaigns recompile per distinct wav length.
-        self.frame_bucket = max(int(frame_bucket), 1)
+
+        # opt-in block-adaptive plan (documented approximation — see
+        # stream/block_adaptive.py); frame_bucket must be a multiple of the
+        # block so bucketed padding stays block-aligned
+        self._block_run = None
+        if block_adapt > 0:
+            from se_snmf_nat_tpu.stream.block_adaptive import (
+                make_block_adaptive_run)
+            if self.frame_bucket % block_adapt:
+                raise ValueError("frame_bucket must be a multiple of "
+                                 "block_adapt")
+            self._block_run = make_block_adaptive_run(
+                self.cfg, b1_x, b1_d, b2_x, b2_d, dtype, block_adapt)
+            self._block_run_batch = jax.jit(
+                jax.vmap(self._block_run, in_axes=(0, 0, None)))
 
         def masked_step(t_valid):
             def step(state, xs):
@@ -120,6 +134,15 @@ class SnmfEnhancer:
         true_frames = self.frames_for(x)
         t = true_frames.shape[0]
         frames = jnp.asarray(self._pad_frames(true_frames), self.dtype)
+        if self._block_run is not None:
+            y, state_out = self._block_run(
+                frames, state if state is not None else self._state0,
+                self.win)
+            start = self.cfg.delay * s.frameshift
+            emit = np.asarray(
+                y[start: start + (t - self.cfg.delay) * s.frameshift])
+            out = enhanced_quantize(emit) if quantize else emit
+            return (out, state_out) if return_state else out
         if self._fast_run is not None and state is None and not return_state:
             # per-column solver independence makes padded columns inert,
             # so the bucketed fast plan is bit-equal to the unpadded one

@@ -182,3 +182,32 @@ def test_fast_plan_mmse_blk_config(reference_bases, short_clip):
     d = np.abs(got.astype(np.int64) - want.astype(np.int64))
     assert d.max() <= 1
     assert (d > 0).mean() < 0.001
+
+
+@pytest.mark.slow
+def test_block_adaptive_close_to_exact(reference_bases, short_clip):
+    """Block-adaptive plan (K=8): bounded deviation from the exact
+    per-frame-refit scan (documented approximation)."""
+    cfg = default_config()
+    speech, noise = reference_bases
+    exact = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                         noise.b_dft, dtype=jnp.float64)
+    blocked = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                           noise.b_dft, dtype=jnp.float64, block_adapt=8)
+    a = exact.enhance(short_clip).astype(np.float64)
+    b = blocked.enhance(short_clip).astype(np.float64)
+    assert a.shape == b.shape
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.97, corr
+
+
+@pytest.mark.slow
+def test_block_adaptive_state_carry(reference_bases, short_clip):
+    cfg = default_config()
+    speech, noise = reference_bases
+    enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                       noise.b_dft, dtype=jnp.float64, block_adapt=8)
+    _, st = enh.enhance(short_clip, return_state=True)
+    chained = enh.enhance(short_clip, state=st)
+    fresh = enh.enhance(short_clip)
+    assert not np.array_equal(chained, fresh)
