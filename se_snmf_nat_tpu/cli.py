@@ -196,7 +196,8 @@ def cmd_campaign(args) -> int:
         b1x, b1d = speech.b_mel, noise.b_mel
     else:
         b1x, b1d = speech.b_dft, noise.b_dft
-    enh = SnmfEnhancer(cfg, b1x, b1d, speech.b_dft, noise.b_dft, dtype=dtype)
+    enh = SnmfEnhancer(cfg, b1x, b1d, speech.b_dft, noise.b_dft, dtype=dtype,
+                       block_adapt=args.block_adapt)
 
     out_root = Path(args.out_root)
     results = {}
@@ -420,6 +421,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--vad", action="store_true")
     c.add_argument("--force", action="store_true")
     c.add_argument("--no-carry", action="store_true")
+    c.add_argument("--block-adapt", type=int, default=0)
     c.add_argument("--batch-size", type=int, default=1)
     c.add_argument("--seed", type=int)
     c.set_defaults(fn=cmd_campaign)
@@ -449,8 +451,23 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: scan pipelines take 1-3 min to
+    compile on TPU; the cache makes every repeat CLI invocation warm."""
+    try:
+        import jax
+        from pathlib import Path as _P
+        cache = _P.home() / ".cache" / "se_snmf_nat_tpu" / "jax_cache"
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
 
 

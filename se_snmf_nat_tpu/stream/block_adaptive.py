@@ -37,14 +37,22 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
     """Returns jitted run(frames (T,L), state0: EngineState, win) ->
     (y, state).  DFT-mode supervised adaptive configs only."""
     s, sep, ad, en, blk = cfg.signal, cfg.sep, cfg.adapt, cfg.enhance, cfg.blk
-    if sep.b_sep_mode != "DFT" or sep.basis_update_n or sep.basis_update_e:
-        raise ValueError("block-adaptive plan: DFT supervised configs only")
+    if sep.basis_update_n or sep.basis_update_e:
+        raise ValueError("block-adaptive plan: supervised configs only")
+    mel_mode = sep.b_sep_mode == "Mel"
     r_x, r_d, r_a = sep.r_x, sep.r_d, ad.r_a
     r = r_x + r_d
     flr = s.nonzerofloor
 
     bx = jnp.asarray(b1_x, dtype)
     bd_tail = jnp.asarray(b1_d[:, r_a:], dtype)
+    bx_dft = jnp.asarray(b2_x, dtype)
+    bd_dft = jnp.asarray(b2_d, dtype)
+    melmat = None
+    if mel_mode:
+        from se_snmf_nat_tpu.dsp.mel import mel_matrix
+        melmat = jnp.asarray(
+            mel_matrix(s.fs, s.f_order, s.fftlength, 1.0, s.fs / 2).T, dtype)
     h0_col = jnp.asarray(matlab_v4_rand_matrix(r, 1, cfg.nmf.random_seed),
                          dtype)
     params = SnmfParams(
@@ -58,11 +66,25 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
     def block_step(state: EngineState, xs):
         mag_blk, ls = xs                         # (K, F), (K,)
         w_sep = jnp.concatenate([bx, state.b_d_head, bd_tail], axis=1)
+        if mel_mode:
+            ym_mel = mag_blk @ melmat.T
+            vn = jnp.sqrt(jnp.sum(ym_mel * ym_mel, axis=1, keepdims=True))
+            tn = jnp.sqrt(jnp.sum(mag_blk * mag_blk, axis=1, keepdims=True))
+            y_sep = (ym_mel / vn + 1e-9) * tn
+        else:
+            y_sep = mag_blk
         res = snmf_h_solve_columns(
-            mag_blk.T, w_sep, jnp.broadcast_to(h0_col, (r, k_block)), params)
+            y_sep.T, w_sep, jnp.broadcast_to(h0_col, (r, k_block)), params)
         a = res.h                                # (r, K)
-        xm = (w_sep[:, :r_x] @ a[:r_x]).T        # (K, F)
-        dm = (w_sep[:, r_x:] @ a[r_x:]).T
+        if mel_mode and sep.mel_conv:
+            xm = ((w_sep[:, :r_x] @ a[:r_x]).T @ melmat)      # (K, F_dft)
+            dm = ((w_sep[:, r_x:] @ a[r_x:]).T @ melmat)
+        elif mel_mode:
+            xm = (bx_dft @ a[:r_x]).T
+            dm = (bd_dft @ a[r_x:]).T
+        else:
+            xm = (w_sep[:, :r_x] @ a[:r_x]).T    # (K, F)
+            dm = (w_sep[:, r_x:] @ a[r_x:]).T
         a_d_mag = jnp.sum(a[r_x:], axis=0) / r_d
         a_x_mag = jnp.sum(a[:r_x], axis=0) / r_x
 
@@ -125,9 +147,10 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
 
         def refit(op):
             head, lam_blk, ad_blk, r_up = op
+            target = lam_blk if not mel_mode else melmat @ lam_blk
             w0 = head * r_up[None, :]
             h0a = ad_blk * r_up[:, None]
-            res = snmf_solve(lam_blk, w0, h0a, r_up, jnp.zeros(r_a, bool),
+            res = snmf_solve(target, w0, h0a, r_up, jnp.zeros(r_a, bool),
                              params, update_w=True, update_h=False,
                              active=any_trig)
             merged = jnp.where(r_up[None, :], res.w, head)

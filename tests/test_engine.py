@@ -211,3 +211,19 @@ def test_block_adaptive_state_carry(reference_bases, short_clip):
     chained = enh.enhance(short_clip, state=st)
     fresh = enh.enhance(short_clip)
     assert not np.array_equal(chained, fresh)
+
+
+@pytest.mark.slow
+def test_block_adaptive_mel_mode(reference_bases, short_clip):
+    from dataclasses import replace
+    cfg = default_config()
+    cfg = cfg.evolve(sep=replace(cfg.sep, b_sep_mode="Mel"))
+    speech, noise = reference_bases
+    exact = SnmfEnhancer(cfg, speech.b_mel, noise.b_mel, speech.b_dft,
+                         noise.b_dft, dtype=jnp.float64)
+    blocked = SnmfEnhancer(cfg, speech.b_mel, noise.b_mel, speech.b_dft,
+                           noise.b_dft, dtype=jnp.float64, block_adapt=8)
+    a = exact.enhance(short_clip).astype(np.float64)
+    b = blocked.enhance(short_clip).astype(np.float64)
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.95, corr
