@@ -21,14 +21,15 @@ from se_snmf_nat_tpu.oracle.engine_np import OracleEngine, init_state
 def enhance_samples_oracle(x: np.ndarray, cfg: PipelineConfig,
                            b1_x, b1_d, b2_x, b2_d,
                            max_frames: int | None = None,
-                           return_float: bool = False) -> np.ndarray:
+                           return_float: bool = False,
+                           twister=None) -> np.ndarray:
     """Enhance int16-scale float samples; returns quantized int16 output
     (or the raw float hop stream when return_float)."""
     s = cfg.signal
     shift, flen = s.frameshift, s.framelength
     delay = cfg.delay
 
-    state = init_state(b1_x, b1_d, b2_x, b2_d, cfg)
+    state = init_state(b1_x, b1_d, b2_x, b2_d, cfg, twister=twister)
     eng = OracleEngine(cfg, state)
 
     n_hops = len(x) // shift
