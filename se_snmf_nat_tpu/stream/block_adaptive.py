@@ -32,10 +32,10 @@ from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_h_solve_columns, snmf_so
 from se_snmf_nat_tpu.utils.matlab_compat import matlab_v4_rand_matrix
 
 
-def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
-                            dtype=jnp.float32, k_block: int = 16):
-    """Returns jitted run(frames (T,L), state0: EngineState, win) ->
-    (y, state).  DFT-mode supervised adaptive configs only."""
+def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
+                    dtype=jnp.float32, k_block: int = 16):
+    """The K-frame block step (state, (mag_blk, ls)) -> (state, xm_tilde_seq)
+    shared by the offline plan and the streaming session."""
     s, sep, ad, en, blk = cfg.signal, cfg.sep, cfg.adapt, cfg.enhance, cfg.blk
     if sep.basis_update_n or sep.basis_update_e:
         raise ValueError("block-adaptive plan: supervised configs only")
@@ -164,6 +164,16 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             xm_tilde=xm_tilde_last, r_blk=r_blk_c,
             lambda_d_blk=lam_blk, ad_blk=ad_blk)
         return new_state, xm_tilde_seq
+
+    return block_step
+
+
+def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
+                            dtype=jnp.float32, k_block: int = 16):
+    """Returns jitted run(frames (T,L), state0: EngineState, win) ->
+    (y, state)."""
+    s = cfg.signal
+    block_step = make_block_step(cfg, b1_x, b1_d, b2_x, b2_d, dtype, k_block)
 
     @jax.jit
     def run(frames, state0, win_arr):

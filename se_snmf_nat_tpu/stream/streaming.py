@@ -32,7 +32,8 @@ class StreamingSession:
     block_frames=1 because the scan runs the same steps in the same order).
     """
 
-    def __init__(self, enhancer, state=None, block_frames: int = 1):
+    def __init__(self, enhancer, state=None, block_frames: int = 1,
+                 use_block_adaptive: bool = False):
         self.enh = enhancer
         s = enhancer.cfg.signal
         self._s = s
@@ -75,6 +76,30 @@ class StreamingSession:
 
         self._run_block = run_block
 
+        # optional: solve FULL blocks through the block-adaptive plan
+        # (batched K-frame solves, one refit per block — the documented
+        # approximation of stream/block_adaptive.py); the partial tail
+        # block at flush still goes through the exact masked scan above
+        self._run_block_fast = None
+        if use_block_adaptive and self._block > 1:
+            from se_snmf_nat_tpu.stream.block_adaptive import make_block_step
+            ba_step = make_block_step(enhancer.cfg, *enhancer._bases,
+                                      enhancer.dtype, k_block=self._block)
+
+            @jax.jit
+            def run_block_fast(frames, state, l0):
+                mag, phase = analysis_frames(
+                    frames, win, s.fftlength, s.pow, s.dc_bin,
+                    s.nonzerofloor, s.preemph)
+                ls = l0 + jnp.arange(frames.shape[0], dtype=jnp.int32)
+                state, xm = ba_step(state, (mag, ls))
+                out = synthesis_frames(
+                    xm, phase, s.framelength, s.fftlength, win, s.pow,
+                    s.dc_bin_back, s.overlapscale, s.preemph)
+                return out, state
+
+            self._run_block_fast = run_block_fast
+
     def _flush_pending(self) -> list[np.ndarray]:
         """Run the queued frames through one jitted scan; returns emitted
         hop chunks."""
@@ -85,9 +110,14 @@ class StreamingSession:
         frames = np.stack(self._pending
                           + [np.zeros(s.framelength)] * (self._block - k))
         l0 = self._l - k + 1
-        outs, self.state = self._run_block(
-            jnp.asarray(frames, self.enh.dtype), self.state,
-            jnp.asarray(l0, jnp.int32), jnp.asarray(k, jnp.int32))
+        if self._run_block_fast is not None and k == self._block:
+            outs, self.state = self._run_block_fast(
+                jnp.asarray(frames, self.enh.dtype), self.state,
+                jnp.asarray(l0, jnp.int32))
+        else:
+            outs, self.state = self._run_block(
+                jnp.asarray(frames, self.enh.dtype), self.state,
+                jnp.asarray(l0, jnp.int32), jnp.asarray(k, jnp.int32))
         outs = np.asarray(outs)
         self._pending = []
         emitted = []

@@ -77,3 +77,20 @@ def test_block_mode_bit_identical(enh, m03_wav):
     sess = StreamingSession(enh, block_frames=8)
     got = np.concatenate([sess.push(x), sess.flush()])
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_block_adaptive_streaming_equals_offline_plan(enh, m03_wav):
+    """use_block_adaptive streaming must reproduce the OFFLINE
+    block-adaptive plan bit-for-bit — same plan, different driver.  (Its
+    deviation from the exact per-frame plan is the documented
+    approximation, quality-gated elsewhere with real dictionaries.)"""
+    from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer as _SE
+    x = m03_wav[0][:16000]
+    enh_blk = _SE(enh.cfg, *enh._bases, dtype=enh.dtype,
+                  matlab_ad_blk_init=False, block_adapt=8)
+    want = enh_blk.enhance(x)
+    sess = StreamingSession(enh, block_frames=8, use_block_adaptive=True)
+    got = np.concatenate([sess.push(x), sess.flush()])
+    n = min(len(got), len(want))
+    np.testing.assert_array_equal(got[:n], want[:n])
