@@ -175,10 +175,12 @@ def cmd_campaign(args) -> int:
     rng = np.random.default_rng(args.seed) if args.seed is not None else None
     speech = train_event_basis_cached(
         args.speech_db, root / "speech", cfg, args.rank, vad=args.vad,
-        force_retrain=args.force, dtype=dtype, shuffle_rng=rng)
+        dc_freq=args.speech_dc_freq, force_retrain=args.force, dtype=dtype,
+        shuffle_rng=rng)
     noise = train_event_basis_cached(
         args.noise_db, root / "noise", cfg, args.rank,
-        force_retrain=args.force, dtype=dtype, shuffle_rng=rng)
+        dc_freq=args.noise_dc_freq, force_retrain=args.force, dtype=dtype,
+        shuffle_rng=rng)
     noise = noise.tiled_to_rank(cfg.sep.r_d)
 
     if args.dnmf:
@@ -422,6 +424,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--force", action="store_true")
     c.add_argument("--no-carry", action="store_true")
     c.add_argument("--block-adapt", type=int, default=0)
+    c.add_argument("--speech-dc-freq", type=float, default=None,
+                   help="per-class DC cutoff Hz (driver DC_freq_set)")
+    c.add_argument("--noise-dc-freq", type=float, default=None)
     c.add_argument("--batch-size", type=int, default=1)
     c.add_argument("--seed", type=int)
     c.set_defaults(fn=cmd_campaign)
