@@ -169,7 +169,15 @@ def cmd_campaign(args) -> int:
     from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
     from se_snmf_nat_tpu.train.basis import train_event_basis_cached
 
+    from dataclasses import replace
     cfg = preset(args.preset)
+    if args.rank != cfg.sep.r_x or args.rank != cfg.sep.r_d:
+        # the reference trains at p.R_x == p.R_d (run_basis_train called
+        # with p.R_x, Do_MultiBatch*:108,136); keep config ranks consistent
+        # with the trained rank and clamp the adapted head accordingly
+        cfg = cfg.evolve(
+            sep=replace(cfg.sep, r_x=args.rank, r_d=args.rank),
+            adapt=replace(cfg.adapt, r_a=min(cfg.adapt.r_a, args.rank)))
     dtype = _jnp_dtype(args.dtype)
     root = Path(args.basis_root)
     rng = np.random.default_rng(args.seed) if args.seed is not None else None

@@ -27,14 +27,17 @@ class BasisPair:
 
     def tiled_to_rank(self, r: int) -> "BasisPair":
         """Reference behavior when a stored basis is narrower than p.R_d:
-        pad by duplicating leading columns (filewise_run_IS16.m:39-43)."""
+        duplicate leading columns REPEATEDLY until wide enough (the
+        reference loops — filewise_run_IS16.m:39-43 — so ranks smaller than
+        half the target tile multiple times, not just once)."""
         if self.rank >= r:
             return self
-        extra = r - self.rank
-        return BasisPair(
-            b_dft=np.concatenate([self.b_dft, self.b_dft[:, :extra]], axis=1),
-            b_mel=np.concatenate([self.b_mel, self.b_mel[:, :extra]], axis=1),
-        )
+        b_dft, b_mel = self.b_dft, self.b_mel
+        while b_dft.shape[1] < r:
+            extra = min(r - b_dft.shape[1], b_dft.shape[1])
+            b_dft = np.concatenate([b_dft, b_dft[:, :extra]], axis=1)
+            b_mel = np.concatenate([b_mel, b_mel[:, :extra]], axis=1)
+        return BasisPair(b_dft=b_dft, b_mel=b_mel)
 
 
 def load_basis_mat(path: str | Path) -> BasisPair:

@@ -152,3 +152,17 @@ def test_ten2mat_unfolding():
     # MATLAB: TF_mat(:, 1+(i-1)*r : i*r) = TF_ten(:,:,i)
     np.testing.assert_array_equal(m[:, 0:3], t[:, :, 0])
     np.testing.assert_array_equal(m[:, 3:6], t[:, :, 1])
+
+
+def test_tiled_to_rank_small_rank():
+    from se_snmf_nat_tpu.io.basis import BasisPair
+    rng = np.random.default_rng(0)
+    pair = BasisPair(b_dft=rng.random((8, 3)), b_mel=rng.random((4, 3)))
+    wide = pair.tiled_to_rank(10)          # 3 -> 10 needs repeated tiling
+    assert wide.b_dft.shape == (8, 10)
+    assert wide.b_mel.shape == (4, 10)
+    # column pattern follows the reference loop: [b, b, b, b(:, :1)]
+    np.testing.assert_array_equal(wide.b_dft[:, 3:6], pair.b_dft)
+    np.testing.assert_array_equal(wide.b_dft[:, 6:9], pair.b_dft)
+    np.testing.assert_array_equal(wide.b_dft[:, 9], pair.b_dft[:, 0])
+    assert pair.tiled_to_rank(3) is pair
