@@ -46,14 +46,16 @@ def main() -> None:
         lambda a: jnp.broadcast_to(a, (batch_size,) + a.shape),
         enh.initial_state())
 
+    t_valid = jnp.full((batch_size,), frames.shape[0], jnp.int32)
+
     # compile + warmup
-    ys, _ = enh._block_run_batch(batch, states, enh.win)
+    ys, _ = enh._block_run_batch(batch, states, enh.win, t_valid)
     jax.block_until_ready(ys)
 
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        ys, _ = enh._block_run_batch(batch, states, enh.win)
+        ys, _ = enh._block_run_batch(batch, states, enh.win, t_valid)
     jax.block_until_ready(ys)
     elapsed = (time.perf_counter() - t0) / n_rep
 

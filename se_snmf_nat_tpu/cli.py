@@ -24,7 +24,11 @@ import numpy as np
 
 
 def _jnp_dtype(name: str):
+    import jax
     import jax.numpy as jnp
+    if name == "float64":
+        # without x64, jnp.float64 silently canonicalizes to float32
+        jax.config.update("jax_enable_x64", True)
     return {"float32": jnp.float32, "float64": jnp.float64,
             "bfloat16": jnp.bfloat16}[name]
 
@@ -245,7 +249,7 @@ def cmd_demo(args) -> int:
         st = None
         outs = []
         lat = []
-        for i in range(0, len(x) - hop, hop):
+        for i in range(0, len(x) - hop + 1, hop):
             t0 = time.perf_counter()
             y, st = enh.enhance(x[i: i + hop], state=st, return_state=True)
             lat.append(time.perf_counter() - t0)

@@ -82,12 +82,8 @@ def _thirdoct_matrix(fs: int, nfft: int, n_bands: int, cf_min: float = 150.0
 
 
 def _resample(x: np.ndarray, fs: int, fs_out: int) -> np.ndarray:
-    if fs == fs_out:
-        return x
-    from scipy.signal import resample_poly
-    from math import gcd
-    g = gcd(fs, fs_out)
-    return resample_poly(x, fs_out // g, fs // g)
+    from se_snmf_nat_tpu.dsp.resample import srconv
+    return srconv(x, fs, fs_out)
 
 
 def stoi(ref: np.ndarray, deg: np.ndarray, fs: int) -> float:

@@ -22,7 +22,6 @@ from pathlib import Path
 # to the pure-Python implementations otherwise — tests/test_native_io.py)
 from se_snmf_nat_tpu.io.native import (
     read_wav_int16, write_wav_int16)
-from se_snmf_nat_tpu.io.wavio import write_enhanced_wav
 from se_snmf_nat_tpu.runtime.profiling import StageTimer
 
 
@@ -45,13 +44,12 @@ class BatchRunner:
     def __init__(self, enhancer, *, carry_state: bool = True,
                  force_rewrite: bool = False, out_suffix: str = "_enh",
                  state_path: str | Path | None = None,
-                 quantize_writer=write_enhanced_wav, verbose: bool = True):
+                 verbose: bool = True):
         self.enhancer = enhancer
         self.carry_state = carry_state
         self.force_rewrite = force_rewrite
         self.out_suffix = out_suffix
         self.state_path = Path(state_path) if state_path else None
-        self.writer = quantize_writer
         self.verbose = verbose
 
     def _out_path(self, f: Path, out_dir: Path) -> Path:
@@ -72,7 +70,8 @@ class BatchRunner:
                 todo.append(f)
 
         t0 = time.perf_counter()
-        if batch_size > 1 and not self.carry_state:
+        if batch_size > 1 and not self.carry_state \
+                and hasattr(self.enhancer, "enhance_batch"):
             for i in range(0, len(todo), batch_size):
                 chunk = todo[i: i + batch_size]
                 xs = []
@@ -89,12 +88,12 @@ class BatchRunner:
         else:
             state = None
             if self.carry_state and self.state_path:
-                from se_snmf_nat_tpu.runtime.checkpoint import (
-                    load_adapted_dictionary)
-                if self.state_path.exists():
+                init = self.enhancer.initial_state()
+                if self.state_path.exists() and hasattr(init, "b_d_head"):
+                    from se_snmf_nat_tpu.runtime.checkpoint import (
+                        load_adapted_dictionary)
                     state = load_adapted_dictionary(
-                        self.state_path, self.enhancer.initial_state(),
-                        self.enhancer.dtype)
+                        self.state_path, init, self.enhancer.dtype)
             for f in todo:
                 with report.timer.stage("io_read"):
                     x, fs = read_wav_int16(f)

@@ -64,7 +64,7 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                       alpha_p=blk.alpha_p, nonzerofloor=flr)
 
     def block_step(state: EngineState, xs):
-        mag_blk, ls = xs                         # (K, F), (K,)
+        mag_blk, ls, ok_blk = xs                 # (K, F), (K,), (K,) bool
         w_sep = jnp.concatenate([bx, state.b_d_head, bd_tail], axis=1)
         if mel_mode:
             ym_mel = mag_blk @ melmat.T
@@ -89,8 +89,9 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         a_x_mag = jnp.sum(a[:r_x], axis=0) / r_x
 
         def frame_step(carry, fxs):
-            lambda_dav, xm_tilde_prev, r_blk_c, lam_blk, ad_blk, any_trig = carry
-            ym, xm_hat, dm_hat, a_col, ad_mag, ax_mag, l = fxs
+            (lambda_dav, xm_tilde_prev, r_blk_c, lam_blk, ad_blk, any_trig,
+             qctl_last, ax_last) = carry
+            ym, xm_hat, dm_hat, a_col, ad_mag, ax_mag, l, ok = fxs
             if blk.enabled:
                 q, r_blk_c = block_sparsity_q(xm_hat, dm_hat, r_blk_c, l,
                                               **blk_kwargs)
@@ -128,21 +129,29 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                 trig, jnp.concatenate(
                     [ad_blk[:, 1:], a_col[r_x: r_x + r_a, None]], 1),
                 ad_blk)
-            qctl_out = jnp.where(trig, q_control, 0.0)
-            return (lambda_dav, xm_tilde, r_blk_c, lam_blk, ad_blk,
-                    any_trig | trig), (xm_tilde, qctl_out, ax_mag)
+            trig = jnp.logical_and(trig, ok)
+            qctl_last = jnp.where(trig, q_control, qctl_last)
+            ax_last = jnp.where(ok, ax_mag, ax_last)
+            out = (jnp.where(ok, xm_tilde, jnp.zeros_like(xm_tilde)),)
+            new_carry = (lambda_dav, xm_tilde, r_blk_c, lam_blk, ad_blk,
+                         any_trig | trig, qctl_last, ax_last)
+            # bucket-padding frames must not touch the carried state
+            frozen = (carry[0], carry[1], carry[2], carry[3], carry[4],
+                      any_trig, qctl_last, ax_last)
+            sel = lambda a, b: jnp.where(ok, a, b)
+            new_carry = jax.tree.map(sel, new_carry, frozen)
+            return new_carry, out[0]
 
         carry0 = (state.lambda_dav, state.xm_tilde, state.r_blk,
-                  state.lambda_d_blk, state.ad_blk, jnp.asarray(False))
-        (lambda_dav, xm_tilde_last, r_blk_c, lam_blk, ad_blk, any_trig), \
-            (xm_tilde_seq, qctl_seq, axm_seq) = jax.lax.scan(
+                  state.lambda_d_blk, state.ad_blk, jnp.asarray(False),
+                  jnp.asarray(0.0, dtype), jnp.asarray(float(flr), dtype))
+        (lambda_dav, xm_tilde_last, r_blk_c, lam_blk, ad_blk, any_trig,
+         q_control, a_x_last), xm_tilde_seq = jax.lax.scan(
                 frame_step, carry0,
-                (mag_blk, xm, dm, a.T, a_d_mag, a_x_mag, ls))
+                (mag_blk, xm, dm, a.T, a_d_mag, a_x_mag, ls, ok_blk))
 
-        # one refit per block if any frame triggered (engine :287-346 with
-        # the LAST frame's gate statistics)
-        q_control = qctl_seq[-1]
-        a_x_last = axm_seq[-1]
+        # one refit per block if any VALID frame triggered (engine :287-346
+        # with the last valid triggered frame's gate statistics)
         r_up = q_control * jnp.mean(ad_blk, axis=1) > a_x_last
 
         def refit(op):
@@ -176,7 +185,7 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
     block_step = make_block_step(cfg, b1_x, b1_d, b2_x, b2_d, dtype, k_block)
 
     @jax.jit
-    def run(frames, state0, win_arr):
+    def run(frames, state0, win_arr, t_valid):
         mag, phase = analysis_frames(
             frames, win_arr, s.fftlength, s.pow, s.dc_bin, s.nonzerofloor,
             s.preemph)
@@ -185,7 +194,8 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         mag_b = mag[: n_blocks * k_block].reshape(n_blocks, k_block, -1)
         ls = jnp.arange(1, n_blocks * k_block + 1,
                         dtype=jnp.int32).reshape(n_blocks, k_block)
-        state, xm_blocks = jax.lax.scan(block_step, state0, (mag_b, ls))
+        ok = (ls <= t_valid)
+        state, xm_blocks = jax.lax.scan(block_step, state0, (mag_b, ls, ok))
         xm_tilde = xm_blocks.reshape(n_blocks * k_block, -1)
         out_frames = synthesis_frames(
             xm_tilde, phase[: n_blocks * k_block], s.framelength,

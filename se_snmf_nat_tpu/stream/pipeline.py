@@ -75,7 +75,7 @@ class SnmfEnhancer:
             self._block_run = make_block_adaptive_run(
                 self.cfg, b1_x, b1_d, b2_x, b2_d, dtype, block_adapt)
             self._block_run_batch = jax.jit(
-                jax.vmap(self._block_run, in_axes=(0, 0, None)))
+                jax.vmap(self._block_run, in_axes=(0, 0, None, 0)))
 
         def masked_step(t_valid):
             def step(state, xs):
@@ -137,7 +137,7 @@ class SnmfEnhancer:
         if self._block_run is not None:
             y, state_out = self._block_run(
                 frames, state if state is not None else self._state0,
-                self.win)
+                self.win, jnp.asarray(t, jnp.int32))
             start = self.cfg.delay * s.frameshift
             emit = np.asarray(
                 y[start: start + (t - self.cfg.delay) * s.frameshift])
@@ -217,7 +217,15 @@ class SnmfEnhancer:
         frames = np.zeros((len(xs), t_max, s.framelength), np.float64)
         for i, f in enumerate(frame_list):
             frames[i, : f.shape[0]] = f
-        if self._fast_run_batch is not None:
+        if self._block_run is not None:
+            states = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (len(xs),) + a.shape),
+                self._state0)
+            ys, _ = self._block_run_batch(jnp.asarray(frames, self.dtype),
+                                          states, self.win,
+                                          jnp.asarray(t_true))
+            ys = np.asarray(ys)
+        elif self._fast_run_batch is not None:
             ys = np.asarray(self._fast_run_batch(
                 jnp.asarray(frames, self.dtype), self.win))
         else:

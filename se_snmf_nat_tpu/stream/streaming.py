@@ -92,7 +92,8 @@ class StreamingSession:
                     frames, win, s.fftlength, s.pow, s.dc_bin,
                     s.nonzerofloor, s.preemph)
                 ls = l0 + jnp.arange(frames.shape[0], dtype=jnp.int32)
-                state, xm = ba_step(state, (mag, ls))
+                ok = jnp.ones(frames.shape[0], bool)
+                state, xm = ba_step(state, (mag, ls, ok))
                 out = synthesis_frames(
                     xm, phase, s.framelength, s.fftlength, win, s.pow,
                     s.dc_bin_back, s.overlapscale, s.preemph)

@@ -73,7 +73,10 @@ def build_training_sequence(
         rng = rng or np.random.default_rng()
         files = [files[i] for i in rng.permutation(len(files))]
 
-    out = np.zeros(seq_cap + file_cap)
+    # MATLAB's s_full auto-grows when a VAD/annotation clip exceeds the
+    # file cap (only plain clips are hard-capped, run_basis_train.m:30-43),
+    # so collect clips in a list instead of a fixed buffer
+    clips: list[np.ndarray] = []
     count = 0
     used: list[Path] = []
     for f in files[:: max(t.clip_subsample, 1)]:
@@ -91,11 +94,11 @@ def build_training_sequence(
             s = s[:file_cap]
         if len(s) == 0:
             continue
-        s = normalize_clip(s)
-        out[count: count + len(s)] = s
-        count += len(s)
+        clips.append(normalize_clip(s))
+        count += len(clips[-1])
         used.append(f)
         if count > seq_cap:
             count = seq_cap
             break
-    return out[:count], SequenceSpec(files=used, total_samples=count)
+    out = np.concatenate(clips)[:count] if clips else np.zeros(0)
+    return out, SequenceSpec(files=used, total_samples=count)

@@ -227,3 +227,25 @@ def test_block_adaptive_mel_mode(reference_bases, short_clip):
     b = blocked.enhance(short_clip).astype(np.float64)
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.95, corr
+
+
+@pytest.mark.slow
+def test_block_adaptive_padding_inert(reference_bases, short_clip):
+    """Bucket-padding frames must not touch the carried state or output
+    (they previously polluted the adaptation rings and dictionary)."""
+    cfg = default_config()
+    speech, noise = reference_bases
+    kw = dict(dtype=jnp.float64, block_adapt=8)
+    # short_clip: 12000 samples -> 79 frames; bucket 80 => 1 pad frame,
+    # bucket 240 => 161 pad frames
+    a = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                     noise.b_dft, frame_bucket=80, **kw)
+    b = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                     noise.b_dft, frame_bucket=240, **kw)
+    ya, sta = a.enhance(short_clip, return_state=True)
+    yb, stb = b.enhance(short_clip, return_state=True)
+    np.testing.assert_array_equal(ya, yb)
+    for f in sta._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(sta, f)),
+                                      np.asarray(getattr(stb, f)),
+                                      err_msg=f)
