@@ -221,14 +221,27 @@ class MmseEnhancer:
         no = int(round(p.of))
 
         @jax.jit
-        def run(frames, state0):
+        def run(frames, state0, n_valid):
+            # frames are bucket-padded with zeros; padded frames contribute
+            # zero to the OLA (zero input -> zero synthesis) and the masked
+            # step keeps them out of the tracker state
             y = frames * win[None, :]
             yf = jnp.fft.rfft(y, nf, axis=1)
             yp = (yf * jnp.conj(yf)).real.astype(dtype)
-            state, gains = lax.scan(step, state0, yp)
+            t = frames.shape[0]
+            idx = jnp.arange(t, dtype=jnp.int32)
+
+            def masked(st, xs):
+                yp_t, i = xs
+                new_st, g = step(st, yp_t)
+                ok = i < n_valid
+                st_out = jax.tree.map(lambda a, b: jnp.where(ok, a, b),
+                                      new_st, st)
+                return st_out, jnp.where(ok, g, jnp.zeros_like(g))
+
+            state, gains = lax.scan(masked, state0, (yp, idx))
             se = jnp.fft.irfft(yf * gains, nf, axis=1).astype(dtype) \
                 * win[None, :]
-            t = frames.shape[0]
             ratio = nf // ni
             chunks = se.reshape(t, ratio, ni)
             out = jnp.zeros((t + ratio - 1, ni), dtype)
@@ -238,6 +251,7 @@ class MmseEnhancer:
 
         self._run = run
         self._no = no
+        self.frame_bucket = 64
 
     def initial_state(self) -> MsStreamState:
         return MsStreamState(scan=None,
@@ -263,7 +277,12 @@ class MmseEnhancer:
                 return out, new_state
             return out
         idx = ni * np.arange(nr)[:, None] + np.arange(nf)[None, :]
-        frames = jnp.asarray(s[idx], self.dtype)
+        frames_np = s[idx]
+        nr_pad = -(-nr // self.frame_bucket) * self.frame_bucket
+        if nr_pad != nr:
+            frames_np = np.concatenate(
+                [frames_np, np.zeros((nr_pad - nr, nf))], axis=0)
+        frames = jnp.asarray(frames_np, self.dtype)
         if st.scan is None:
             win = d.win
             if self.tracker == "mmse":
@@ -283,8 +302,8 @@ class MmseEnhancer:
                 scan0 = init_ms_scan_state(yp0, self.p, d, self.dtype)
         else:
             scan0 = st.scan
-        ss, scan_out = self._run(frames, scan0)
-        ss = np.array(ss, np.float64, copy=True)
+        ss, scan_out = self._run(frames, scan0, jnp.asarray(nr, jnp.int32))
+        ss = np.array(ss, np.float64, copy=True)[: ni * (nr + self._no - 1)]
         ss[:tail] += st.ssv
         if not chunked:
             return matlab_int16_write(ss) if quantize else ss
