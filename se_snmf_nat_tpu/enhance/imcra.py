@@ -318,6 +318,10 @@ class OmlsaEnhancer:
         self._run = run
         self._run_batch = jax.jit(jax.vmap(run))
 
+    frame_bucket = 64   # all-zero padding frames hit the first-nonzero /
+    #                     silence gate (proc_IMCRA.m:145), so bucketing is
+    #                     inert by construction — state and outputs untouched
+
     def frames_for(self, x: np.ndarray) -> np.ndarray:
         p = self.p
         x = np.asarray(x, np.float64).reshape(-1)
@@ -328,8 +332,14 @@ class OmlsaEnhancer:
     def enhance(self, x: np.ndarray, quantize: bool = True) -> np.ndarray:
         """int16-scale samples -> enhanced stream (Nframes*Mno + Mo long,
         matching the reference's emitted raw int16 stream)."""
-        frames = jnp.asarray(self.frames_for(x), self.dtype)
-        y = np.asarray(self._run(frames))
+        frames = self.frames_for(x)
+        t = frames.shape[0]
+        t_pad = -(-max(t, 1) // self.frame_bucket) * self.frame_bucket
+        if t_pad != t:
+            frames = np.concatenate(
+                [frames, np.zeros((t_pad - t, self.p.m))], axis=0)
+        y = np.asarray(self._run(jnp.asarray(frames, self.dtype)))
+        y = y[: t * self.p.mno + self.p.mo]
         return matlab_int16_write(y) if quantize else y
 
     def enhance_batch(self, xs: list[np.ndarray], quantize: bool = True):

@@ -75,3 +75,15 @@ def test_batch_matches_single(clip):
     outs = enh.enhance_batch([a, b])
     np.testing.assert_array_equal(outs[0], enh.enhance(a))
     np.testing.assert_array_equal(outs[1], enh.enhance(b))
+
+
+@pytest.mark.slow
+def test_bucketing_inert(clip):
+    """Bucket padding frames hit the silence gate, so any bucket size gives
+    identical output."""
+    enh = OmlsaEnhancer(dtype=jnp.float64)
+    a = enh.enhance(clip)
+    enh2 = OmlsaEnhancer(dtype=jnp.float64)
+    enh2.frame_bucket = 1
+    b = enh2.enhance(clip)
+    np.testing.assert_array_equal(a, b)
