@@ -38,7 +38,9 @@ def main() -> None:
     # (0.9967 on M03) at ~6x the throughput — see stream/block_adaptive.py
     enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
                        noise.b_dft, dtype=jnp.float32, block_adapt=16)
-    frames = enh._pad_frames(enh.frames_for(x))
+    true_frames = enh.frames_for(x)
+    n_true = true_frames.shape[0]
+    frames = enh._pad_frames(true_frames)
 
     batch_size = 64
     batch = jnp.asarray(np.stack([frames] * batch_size), jnp.float32)
@@ -46,7 +48,9 @@ def main() -> None:
         lambda a: jnp.broadcast_to(a, (batch_size,) + a.shape),
         enh.initial_state())
 
-    t_valid = jnp.full((batch_size,), frames.shape[0], jnp.int32)
+    # true (pre-padding) frame count: bucket-padding frames run masked in
+    # production, so the metric must not count them as processed audio
+    t_valid = jnp.full((batch_size,), n_true, jnp.int32)
 
     # compile + warmup
     ys, _ = enh._block_run_batch(batch, states, enh.win, t_valid)
@@ -64,11 +68,61 @@ def main() -> None:
     n_chips = max(len(jax.devices()), 1)
     value_per_chip = value / n_chips
 
+    # ---- MU-solver kernel metrics (BASELINE.md "MU iterations/s tracked;
+    # STFT and MU-matmul kernels at speed-of-light").  The workhorse kernel
+    # is the batched per-column H-solve (nmf/solver.snmf_h_solve_columns),
+    # the TPU realization of sparse_nmf.m:186-285's per-frame m=1 solves;
+    # measure it on the real bench spectrogram at production shapes.
+    from se_snmf_nat_tpu.dsp.stft import analysis_frames
+    from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_h_solve_columns
+
+    s = cfg.signal
+    mag, _ = analysis_frames(
+        jnp.asarray(frames, jnp.float32), enh.win, s.fftlength, s.pow,
+        s.dc_bin, s.nonzerofloor, s.preemph)
+    v = jnp.tile(mag[:n_true].T, (1, batch_size))       # (F, B*T) columns
+    w_sep = jnp.concatenate(
+        [jnp.asarray(speech.b_dft, jnp.float32),
+         jnp.asarray(noise.b_dft, jnp.float32)], axis=1)  # (513, 200)
+    r = w_sep.shape[1]
+    params = SnmfParams(beta=cfg.nmf.beta, sparsity=float(cfg.nmf.sparsity),
+                        max_iter=cfg.nmf.max_iter, conv_eps=cfg.nmf.conv_eps,
+                        flr=1e-9, precision=cfg.runtime.matmul_precision)
+    h0 = jnp.full((r, v.shape[1]), 0.5, jnp.float32)
+
+    res = snmf_h_solve_columns(v, w_sep, h0, params)    # compile + warmup
+    jax.block_until_ready(res.h)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        res = snmf_h_solve_columns(v, w_sep, h0, params)
+    jax.block_until_ready(res.h)
+    mu_elapsed = (time.perf_counter() - t0) / n_rep
+
+    n_loop_iters = int(res.iters)                       # while_loop trips
+    n_cols = v.shape[1]
+    # a reference "MU iteration" is one H update of one frame column
+    # (sparse_nmf.m:186-285 at m=1); the batched loop updates every column
+    # each trip, so column-iterations = trips x columns
+    mu_iters_per_s = n_loop_iters * n_cols / mu_elapsed
+    # per loop trip: dmh = W^T(V/Lambda) and Lambda = W@H — two (F,r)x(r,n)
+    # GEMM-class contractions => 2 * (2*F*r*n) FLOPs (elementwise excluded)
+    f_bins = v.shape[0]
+    flops_per_iter = 2 * (2.0 * f_bins * r * n_cols)
+    achieved_flops = n_loop_iters * flops_per_iter / mu_elapsed
+    # v5e peak: 197 TFLOP/s bf16 MXU; f32 MU runs at the default-precision
+    # bf16x3 path, so quote utilization against the bf16 peak
+    peak_flops = 197e12 if jax.devices()[0].platform != "cpu" else 1e12
+    mu_gemm_mfu = achieved_flops / (peak_flops * n_chips)
+
     print(json.dumps({
         "metric": "audio_seconds_per_s_per_chip",
         "value": round(value_per_chip, 2),
         "unit": "audio-s/s/chip (adaptive SNMF-NAT enhancement, block-adaptive K=16, f32, B=64)",
         "vs_baseline": round(value_per_chip / 100.0, 3),
+        "mu_iters_per_s": round(mu_iters_per_s, 0),
+        "mu_gemm_tflops": round(achieved_flops / 1e12, 2),
+        "mu_gemm_mfu": round(mu_gemm_mfu, 4),
+        "mu_solver_shape": f"F={f_bins} r={r} cols={n_cols} iters={n_loop_iters}",
     }))
 
 

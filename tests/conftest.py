@@ -44,5 +44,19 @@ def m03_golden():
 
 
 @pytest.fixture(scope="session")
+def lm_wav():
+    from se_snmf_nat_tpu.io.wavio import read_wav_int16
+    x, fs = read_wav_int16(f"{REF}/wav/LM_in.wav")
+    return x, fs
+
+
+@pytest.fixture(scope="session")
+def lm_golden():
+    from se_snmf_nat_tpu.io.wavio import read_wav_int16
+    x, fs = read_wav_int16(f"{REF}/wav/LM_in_out_v3.9_18.wav")
+    return x, fs
+
+
+@pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

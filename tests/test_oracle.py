@@ -32,6 +32,63 @@ def test_oracle_matches_golden_m03(reference_bases, m03_wav, m03_golden):
 
 
 @pytest.mark.slow
+def test_oracle_matches_golden_lm(reference_bases, lm_wav, lm_golden):
+    """Second committed fixture (wav/LM_in.wav -> LM_in_out_v3.9_18.wav,
+    producer filewise_run_IS16.m:6-10) — both of the reference's only
+    reproducible end-to-end checks are gated."""
+    speech, noise = reference_bases
+    x, _ = lm_wav
+    ref, _ = lm_golden
+    cfg = default_config()
+    out = enhance_samples_oracle(x, cfg, speech.b_dft, noise.b_dft,
+                                 speech.b_dft, noise.b_dft)
+    assert len(out) == len(ref)
+    d = out.astype(np.int64) - ref.astype(np.int64)
+    corr = np.corrcoef(out, ref)[0, 1]
+    assert corr > 0.99, corr                 # measured 0.9934
+    assert np.abs(d).mean() < 100.0          # measured 50.1
+    assert np.abs(d[:5500]).max() <= 16      # measured 5
+
+
+def _block_plan_output(x, reference_bases):
+    import jax.numpy as jnp
+    from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+    speech, noise = reference_bases
+    enh = SnmfEnhancer(default_config(), speech.b_dft, noise.b_dft,
+                       speech.b_dft, noise.b_dft, dtype=jnp.float32,
+                       block_adapt=16)
+    return enh.enhance(x)
+
+
+@pytest.mark.slow
+def test_block_plan_matches_golden_m03(reference_bases, m03_wav, m03_golden):
+    """The SHIPPED headline path (f32 block-adaptive K=16) gates against the
+    golden wav, not just the float64 oracle.  Prefix exactness is not gated:
+    the block plan's adaptation lags up to K frames by design
+    (stream/block_adaptive.py docstring)."""
+    x, _ = m03_wav
+    ref, _ = m03_golden
+    out = _block_plan_output(x, reference_bases)
+    assert len(out) == len(ref)
+    d = out.astype(np.int64) - ref.astype(np.int64)
+    corr = np.corrcoef(out, ref)[0, 1]
+    assert corr > 0.99, corr                 # measured 0.9963
+    assert np.abs(d).mean() < 150.0          # measured 75.2
+
+
+@pytest.mark.slow
+def test_block_plan_matches_golden_lm(reference_bases, lm_wav, lm_golden):
+    x, _ = lm_wav
+    ref, _ = lm_golden
+    out = _block_plan_output(x, reference_bases)
+    assert len(out) == len(ref)
+    d = out.astype(np.int64) - ref.astype(np.int64)
+    corr = np.corrcoef(out, ref)[0, 1]
+    assert corr > 0.99, corr                 # measured 0.9958
+    assert np.abs(d).mean() < 100.0          # measured 48.7
+
+
+@pytest.mark.slow
 def test_oracle_output_length_contract(reference_bases, m03_wav):
     """Emitted samples = (floor(N/hop) + delay + 1 - delay) * hop."""
     speech, noise = reference_bases
