@@ -86,23 +86,31 @@ class BatchRunner:
                     if self.verbose:
                         print(f"[batch] {f.name}")
         else:
-            state = None
-            if self.carry_state and self.state_path:
-                init = self.enhancer.initial_state()
-                if self.state_path.exists() and hasattr(init, "b_d_head"):
-                    from se_snmf_nat_tpu.runtime.checkpoint import (
-                        load_adapted_dictionary)
-                    state = load_adapted_dictionary(
-                        self.state_path, init, self.enhancer.dtype)
+            # Cross-file carry mirrors the reference's B_D_u exactly: only
+            # the adapted noise-dictionary head survives a file boundary;
+            # every other buffer re-initializes per file (init_buff per file
+            # + B_D_u load, NTF_sep_event_RT.m:28-46).  Enhancers without a
+            # dictionary head (MS/IMCRA) have no reference-sanctioned
+            # cross-file state — threading their stream state would mix one
+            # file's OLA tail into the next — so they run one-shot per file.
+            init = self.enhancer.initial_state() if self.carry_state else None
+            dict_carry = self.carry_state and hasattr(init, "b_d_head")
+            state = init if dict_carry else None
+            if dict_carry and self.state_path and self.state_path.exists():
+                from se_snmf_nat_tpu.runtime.checkpoint import (
+                    load_adapted_dictionary)
+                state = load_adapted_dictionary(
+                    self.state_path, init, self.enhancer.dtype)
             for f in todo:
                 with report.timer.stage("io_read"):
                     x, fs = read_wav_int16(f)
                 report.seconds_audio += len(x) / fs
                 report.timer.add_audio(len(x) / fs)
                 with report.timer.stage("enhance"):
-                    if self.carry_state:
-                        y, state = self.enhancer.enhance(x, state=state,
-                                                         return_state=True)
+                    if dict_carry:
+                        y, state_out = self.enhancer.enhance(
+                            x, state=state, return_state=True)
+                        state = init._replace(b_d_head=state_out.b_d_head)
                     else:
                         y = self.enhancer.enhance(x)
                 with report.timer.stage("io_write"):
@@ -110,8 +118,7 @@ class BatchRunner:
                 report.processed.append(f.name)
                 if self.verbose:
                     print(f"[seq] {f.name}")
-                if self.carry_state and self.state_path \
-                        and state is not None and hasattr(state, "b_d_head"):
+                if dict_carry and self.state_path:
                     from se_snmf_nat_tpu.runtime.checkpoint import (
                         save_adapted_dictionary)
                     save_adapted_dictionary(self.state_path, state)

@@ -105,6 +105,44 @@ def test_batch_runner_skip_and_carry(small_enh, wav_db, tmp_path):
 
 
 @pytest.mark.slow
+def test_batch_runner_ms_no_cross_file_bleed(wav_db, tmp_path):
+    """carry_state with an enhancer lacking a dictionary head (MS) must NOT
+    thread stream state across unrelated files: each output equals the
+    one-shot enhancement of that file alone (ADVICE r1: MsStreamState si/ssv
+    tails were leaking file N's OLA tail into file N+1)."""
+    from se_snmf_nat_tpu.enhance.ms import MmseEnhancer
+    enh = MmseEnhancer(fs=FS, dtype=jnp.float64)
+    out = tmp_path / "out_ms"
+    rep = BatchRunner(enh, carry_state=True, verbose=False).run(wav_db, out)
+    assert len(rep.processed) == 3
+    for f in sorted(wav_db.iterdir()):
+        x, fs = read_wav_int16(f)
+        want = enh.enhance(x)
+        got, _ = read_wav_int16(out / f"{f.stem}_enh.wav")
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_batch_runner_snmf_carry_is_dictionary_only(small_enh, wav_db,
+                                                    tmp_path):
+    """Cross-file carry mirrors B_D_u exactly: file N+1 starts from a fresh
+    init_buff state with only b_d_head seeded from file N
+    (NTF_sep_event_RT.m:28-46,136-139)."""
+    out = tmp_path / "out_dict"
+    BatchRunner(small_enh, carry_state=True, verbose=False).run(wav_db, out)
+    files = sorted(wav_db.iterdir())
+    state = small_enh.initial_state()
+    for f in files:
+        x, fs = read_wav_int16(f)
+        want, state_out = small_enh.enhance(x, state=state,
+                                            return_state=True)
+        state = small_enh.initial_state()._replace(
+            b_d_head=state_out.b_d_head)
+        got, _ = read_wav_int16(out / f"{f.stem}_enh.wav")
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
 def test_cli_enhance_and_eval(small_enh, wav_db, tmp_path, capsys,
                               monkeypatch):
     # single-file enhance via the real CLI with explicit tiny bases
