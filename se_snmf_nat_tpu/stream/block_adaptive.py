@@ -12,9 +12,13 @@ ring statistics exactly as the engine does).
 
 This is a DOCUMENTED SEMANTIC DEVIATION from the reference's per-frame
 online learning — the dictionary lags by up to K frames (K*10 ms of
-audio).  Quality is measured, not assumed: tests compare against the exact
-scan plan (waveform correlation) and against the reference golden output.
-The exact plan remains the default; select with
+audio).  Everything else follows the engine: the l==1 lambda_dav seed is
+mode-correct (mel_conv seeds from the mel-projected spectrum,
+engine.py:144,177) and the update_switch refit cycle honors
+adapt.update_period (only every Nth trigger schedules a refit,
+engine.py:214,234).  Quality is measured, not assumed: tests compare
+against the exact scan plan (waveform correlation) and against the
+reference golden output.  The exact plan remains the default; select with
 ``SnmfEnhancer(..., block_adapt=K)``.
 """
 
@@ -87,17 +91,24 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             dm = (w_sep[:, r_x:] @ a[r_x:]).T
         a_d_mag = jnp.sum(a[r_x:], axis=0) / r_d
         a_x_mag = jnp.sum(a[:r_x], axis=0) / r_x
+        # l==1 lambda_dav seed matches the engine per mode: mel_conv seeds
+        # from the mel-projected-back spectrum ym_dft = melmat.T @ y_sep
+        # (engine.py:144,177); every other mode seeds from the raw DFT mag
+        if mel_mode and sep.mel_conv:
+            ym_dft_blk = y_sep @ melmat
+        else:
+            ym_dft_blk = mag_blk
 
         def frame_step(carry, fxs):
-            (lambda_dav, xm_tilde_prev, r_blk_c, lam_blk, ad_blk, any_trig,
-             qctl_last, ax_last) = carry
-            ym, xm_hat, dm_hat, a_col, ad_mag, ax_mag, l, ok = fxs
+            (lambda_dav, xm_tilde_prev, r_blk_c, lam_blk, ad_blk, switch,
+             any_refit, qctl_last, ax_last) = carry
+            ym, ym_dft, xm_hat, dm_hat, a_col, ad_mag, ax_mag, l, ok = fxs
             if blk.enabled:
                 q, r_blk_c = block_sparsity_q(xm_hat, dm_hat, r_blk_c, l,
                                               **blk_kwargs)
             else:
                 q = jnp.ones_like(ym)
-            lambda_dav = jnp.where(l == 1, ym, lambda_dav)
+            lambda_dav = jnp.where(l == 1, ym_dft, lambda_dav)
             beta = jnp.clip(20.0 * jnp.log10(ad_mag / ax_mag) * en.beta,
                             en.beta, en.beta_max)
             lambda_dav = en.alpha_d * lambda_dav \
@@ -130,25 +141,35 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                     [ad_blk[:, 1:], a_col[r_x: r_x + r_a, None]], 1),
                 ad_blk)
             trig = jnp.logical_and(trig, ok)
-            qctl_last = jnp.where(trig, q_control, qctl_last)
+            # refit cycle: only every update_period-th trigger refits
+            # (engine.py:214,234 — the reference's update_switch counter,
+            # bnmf_sep_event_RT_IS16.m:293); the refit itself still waits
+            # for the block boundary (the documented K-frame lag)
+            do_solve = jnp.logical_and(trig,
+                                       switch == ad.update_period)
+            switch = jnp.where(trig,
+                               jnp.where(do_solve, 1, switch + 1), switch)
+            qctl_last = jnp.where(do_solve, q_control, qctl_last)
             ax_last = jnp.where(ok, ax_mag, ax_last)
             out = (jnp.where(ok, xm_tilde, jnp.zeros_like(xm_tilde)),)
             new_carry = (lambda_dav, xm_tilde, r_blk_c, lam_blk, ad_blk,
-                         any_trig | trig, qctl_last, ax_last)
+                         switch, any_refit | do_solve, qctl_last, ax_last)
             # bucket-padding frames must not touch the carried state
             frozen = (carry[0], carry[1], carry[2], carry[3], carry[4],
-                      any_trig, qctl_last, ax_last)
+                      carry[5], any_refit, qctl_last, ax_last)
             sel = lambda a, b: jnp.where(ok, a, b)
             new_carry = jax.tree.map(sel, new_carry, frozen)
             return new_carry, out[0]
 
         carry0 = (state.lambda_dav, state.xm_tilde, state.r_blk,
-                  state.lambda_d_blk, state.ad_blk, jnp.asarray(False),
-                  jnp.asarray(0.0, dtype), jnp.asarray(float(flr), dtype))
-        (lambda_dav, xm_tilde_last, r_blk_c, lam_blk, ad_blk, any_trig,
-         q_control, a_x_last), xm_tilde_seq = jax.lax.scan(
+                  state.lambda_d_blk, state.ad_blk, state.update_switch,
+                  jnp.asarray(False), jnp.asarray(0.0, dtype),
+                  jnp.asarray(float(flr), dtype))
+        (lambda_dav, xm_tilde_last, r_blk_c, lam_blk, ad_blk, switch_out,
+         any_trig, q_control, a_x_last), xm_tilde_seq = jax.lax.scan(
                 frame_step, carry0,
-                (mag_blk, xm, dm, a.T, a_d_mag, a_x_mag, ls, ok_blk))
+                (mag_blk, ym_dft_blk, xm, dm, a.T, a_d_mag, a_x_mag, ls,
+                 ok_blk))
 
         # one refit per block if any VALID frame triggered (engine :287-346
         # with the last valid triggered frame's gate statistics)
@@ -171,7 +192,8 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         new_state = state._replace(
             b_d_head=head_new, lambda_dav=lambda_dav,
             xm_tilde=xm_tilde_last, r_blk=r_blk_c,
-            lambda_d_blk=lam_blk, ad_blk=ad_blk)
+            lambda_d_blk=lam_blk, ad_blk=ad_blk,
+            update_switch=switch_out.astype(jnp.int32))
         return new_state, xm_tilde_seq
 
     return block_step

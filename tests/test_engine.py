@@ -230,6 +230,30 @@ def test_block_adaptive_mel_mode(reference_bases, short_clip):
 
 
 @pytest.mark.slow
+def test_block_adaptive_honors_update_period(reference_bases, short_clip):
+    """adapt.update_period gates block refits just as it gates engine
+    refits (engine.py:214,234): with a period longer than the clip's
+    trigger count, the dictionary head never moves; at period=1 it does."""
+    from dataclasses import replace
+    cfg = default_config()
+    speech, noise = reference_bases
+    cfg_slow = cfg.evolve(adapt=replace(cfg.adapt, overlap_m_a=100.0))
+    assert cfg_slow.adapt.update_period > 1000
+    enh = SnmfEnhancer(cfg_slow, speech.b_dft, noise.b_dft, speech.b_dft,
+                       noise.b_dft, dtype=jnp.float64, block_adapt=8)
+    _, st = enh.enhance(short_clip, return_state=True)
+    np.testing.assert_array_equal(
+        np.asarray(st.b_d_head), np.asarray(enh.initial_state().b_d_head))
+    # the switch counter still advanced (triggers occurred, no refit due)
+    assert int(st.update_switch) > 1
+    enh1 = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                        noise.b_dft, dtype=jnp.float64, block_adapt=8)
+    _, st1 = enh1.enhance(short_clip, return_state=True)
+    assert not np.array_equal(np.asarray(st1.b_d_head),
+                              np.asarray(enh1.initial_state().b_d_head))
+
+
+@pytest.mark.slow
 def test_block_adaptive_padding_inert(reference_bases, short_clip):
     """Bucket-padding frames must not touch the carried state or output
     (they previously polluted the adaptation rings and dictionary)."""
