@@ -46,7 +46,8 @@ class Engine(NamedTuple):
 
 def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
                 b2_x: np.ndarray, b2_d: np.ndarray,
-                dtype=jnp.float32, emit_sources: bool = False) -> Engine:
+                dtype=jnp.float32, emit_sources: bool = False,
+                warm_start: bool = False) -> Engine:
     """Build the scan step closed over the immutable dictionary parts.
 
     b1_*: separation-domain bases (mel or DFT per cfg.sep.b_sep_mode);
@@ -56,6 +57,22 @@ def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
     spectra (engine :158-200 block layout from cfg.sep.event_rank /
     noise_rank; their per-class sums equal the xm_hat/dm_hat the gain
     uses, so separation adds outputs without changing the enhancement).
+
+    warm_start: DOCUMENTED SEMANTIC DEVIATION, kept as a MEASURED NEGATIVE
+    RESULT — initialize each frame's H-solve from the previous frame's
+    activations instead of the reference's per-frame ``rand('seed',1)``
+    re-init (sparse_nmf.m:112-134).  Measured on TPU v5e (M03, B=64, f32):
+    374 vs 393 audio-s/s/chip (SLOWER) and corr 0.87 vs the cold plan's
+    0.997 against the golden wav.  Why: the production solver stops far
+    from convergence (rel-err ~0.44 vs the eps=1e-6 solution at the
+    reference's conv_eps=1e-3), so outputs are defined by the optimization
+    TRAJECTORY from the specific init, not by the optimum — a warm
+    trajectory lands somewhere else, and iterations only drop 27 -> 19 on
+    average (not enough to pay for anything).  Frame 1 is identical by
+    construction (a_warm seeds from the same legacy-V4 rand column).
+    Related bounds measured for the exact plan: segment speculation cannot
+    exceed ~1.5x (the dictionary actually changes on 65% of M03 frames,
+    mean gap 0.53); batch growth regresses (B=128: 330, B=256: 133).
     """
     s, sep, ad, en, blk = cfg.signal, cfg.sep, cfg.adapt, cfg.enhance, cfg.blk
     if sep.blk_len_sep != 1 or sep.splice != 0:
@@ -124,8 +141,16 @@ def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
         w_sep = jnp.concatenate([bx_sep, b_sep_d], axis=1)
 
         # ---- activation solve (engine :140-154)
-        res = snmf_solve(y_sep[:, None], w_sep, h0, w_mask_sep, h_mask_all,
-                         solve_params, update_w=semisup, update_h=True)
+        if warm_start:
+            # floor unsticks any underflowed-to-zero activations (MU can
+            # never leave an exact zero)
+            h0_use = jnp.maximum(state.a_warm, jnp.asarray(1e-8, dtype))
+            h0_use = h0_use[:, None]
+        else:
+            h0_use = h0
+        res = snmf_solve(y_sep[:, None], w_sep, h0_use, w_mask_sep,
+                         h_mask_all, solve_params, update_w=semisup,
+                         update_h=True)
         a = res.h[:, 0]
 
         # ---- reconstructions (engine :158-211)
@@ -240,6 +265,8 @@ def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
 
         new_state = state_ad._replace(
             lambda_dav=lambda_dav, xm_tilde=xm_tilde, r_blk=r_blk)
+        if warm_start:
+            new_state = new_state._replace(a_warm=a)
         if emit_sources:
             return new_state, (xm_tilde, jnp.stack(x_srcs), jnp.stack(d_srcs))
         return new_state, xm_tilde

@@ -27,6 +27,9 @@ class EngineState(NamedTuple):
     lambda_d_blk: jnp.ndarray  # (F, m_a) DFT-domain noise-reference ring
     ad_blk: jnp.ndarray        # (R_a, m_a) noise-activation ring
     update_switch: jnp.ndarray  # int32 scalar
+    a_warm: jnp.ndarray        # (R,) previous frame's activations; read
+    #                            only by warm-start plans (engine.py), and
+    #                            carried untouched by reference-exact plans
 
 
 def init_engine_state(cfg: PipelineConfig, b_d_sep: np.ndarray,
@@ -46,6 +49,11 @@ def init_engine_state(cfg: PipelineConfig, b_d_sep: np.ndarray,
         ad_blk = tw.rand(ad.r_a, ad.m_a)
     else:
         ad_blk = np.full((ad.r_a, ad.m_a), 0.5)
+    # warm-start seed = the same legacy-V4 rand column every frame's H-solve
+    # would use cold (sparse_nmf.m:112-134), so frame 1 is identical either way
+    from se_snmf_nat_tpu.utils.matlab_compat import matlab_v4_rand_matrix
+    r = cfg.sep.r_x + cfg.sep.r_d
+    a0 = matlab_v4_rand_matrix(r, 1, cfg.nmf.random_seed)[:, 0]
     return EngineState(
         b_d_head=jnp.asarray(b_d_sep[:, : ad.r_a], dtype),
         lambda_dav=jnp.zeros((n_bins,), dtype),
@@ -54,4 +62,5 @@ def init_engine_state(cfg: PipelineConfig, b_d_sep: np.ndarray,
         lambda_d_blk=jnp.zeros((n_bins, ad.m_a), dtype),
         ad_blk=jnp.asarray(ad_blk, dtype),
         update_switch=jnp.asarray(1, jnp.int32),
+        a_warm=jnp.asarray(a0, dtype),
     )

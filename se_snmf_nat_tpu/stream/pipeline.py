@@ -37,11 +37,17 @@ class SnmfEnhancer:
 
     def __init__(self, cfg: PipelineConfig | None, b1_x, b1_d, b2_x, b2_d,
                  dtype=jnp.float32, matlab_ad_blk_init: bool = True,
-                 frame_bucket: int = 128, block_adapt: int = 0):
+                 frame_bucket: int = 128, block_adapt: int = 0,
+                 warm_start: bool = False):
         self.cfg = cfg or default_config()
         s = self.cfg.signal
         self.dtype = dtype
-        self.engine = make_engine(self.cfg, b1_x, b1_d, b2_x, b2_d, dtype)
+        if warm_start and block_adapt:
+            raise ValueError("warm_start applies to the exact scan plan; "
+                             "combine with block_adapt is unsupported")
+        self.warm_start = warm_start
+        self.engine = make_engine(self.cfg, b1_x, b1_d, b2_x, b2_d, dtype,
+                                  warm_start=warm_start)
         self.win = jnp.asarray(sqrt_hann_periodic(s.framelength), dtype)
         self._state0 = self.engine.init_state(dtype, matlab_ad_blk_init)
         self._bases = (b1_x, b1_d, b2_x, b2_d)
@@ -57,7 +63,8 @@ class SnmfEnhancer:
             make_fast_run, supports_fast_plan)
         self._fast_run = (make_fast_run(self.cfg, b1_x, b1_d, b2_x, b2_d,
                                         dtype)
-                          if supports_fast_plan(self.cfg) else None)
+                          if supports_fast_plan(self.cfg) and not warm_start
+                          else None)
         self._fast_run_batch = (
             jax.jit(jax.vmap(self._fast_run, in_axes=(0, None)))
             if self._fast_run is not None else None)

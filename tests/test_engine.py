@@ -230,6 +230,30 @@ def test_block_adaptive_mel_mode(reference_bases, short_clip):
 
 
 @pytest.mark.slow
+def test_warm_start_plan(reference_bases, short_clip):
+    """Warm-start H-solve (documented deviation, measured negative result —
+    see engine.py docstring): frame 1 is bit-equal to the cold plan by
+    construction; later frames diverge but stay sane."""
+    cfg = default_config()
+    speech, noise = reference_bases
+    cold = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                        noise.b_dft, dtype=jnp.float64)
+    warm = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                        noise.b_dft, dtype=jnp.float64, warm_start=True)
+    a = cold.enhance(short_clip)
+    b = warm.enhance(short_clip)
+    assert a.shape == b.shape
+    # first emitted hop comes from pre-divergence frames (delay=3; the
+    # engine output of frame 1 is identical, so hop 1 matches exactly)
+    np.testing.assert_array_equal(a[:160], b[:160])
+    corr = np.corrcoef(a.astype(np.float64), b.astype(np.float64))[0, 1]
+    assert corr > 0.5, corr
+    with pytest.raises(ValueError):
+        SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                     noise.b_dft, warm_start=True, block_adapt=8)
+
+
+@pytest.mark.slow
 def test_block_adaptive_honors_update_period(reference_bases, short_clip):
     """adapt.update_period gates block refits just as it gates engine
     refits (engine.py:214,234): with a period longer than the clip's
