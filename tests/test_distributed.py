@@ -1,0 +1,69 @@
+"""True multi-process jax.distributed test (VERDICT r1 item 6).
+
+Spawns TWO real OS processes (coordinator + worker) on the CPU backend and
+asserts: topology (2 procs x 2 devices), disjoint per-host file sharding,
+the distributed MU train step equal to single-process math, and the pmean
+dictionary merge yielding the identical merged head on both processes —
+the demonstrated fix for the reference's unlocked B_D_u.mat race
+(/root/reference/src/NTF_sep_event_RT.m:28-38,136-139).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed():
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "PROC_ID": str(pid),
+            "COORD_PORT": str(port),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "PYTHONPATH": str(REPO) + os.pathsep + env.get("PYTHONPATH", ""),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "distributed_worker.py")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    by_proc = {o["proc"]: o for o in outs}
+    assert set(by_proc) == {0, 1}
+    # disjoint, complete file sharding (round-robin)
+    f0, f1 = set(by_proc[0]["files"]), set(by_proc[1]["files"])
+    assert not (f0 & f1)
+    assert f0 | f1 == {f"u{i}.wav" for i in range(10)}
+    for o in outs:
+        assert o["train_ok"], o
+        assert o["merge_ok"], o
+    # both processes computed the SAME merged dictionary and weights —
+    # deterministic collective merge, no read-modify-write race
+    assert by_proc[0]["merged_head_value"] == by_proc[1]["merged_head_value"]
+    assert by_proc[0]["w_hash"] == by_proc[1]["w_hash"]
