@@ -274,12 +274,20 @@ def cmd_demo(args) -> int:
         sess = StreamingSession(enh, block_frames=args.block)
         outs = []
         lat = []
+        # basis-evolution snapshots (the SE_GUI.m:466-479 plot refresh role)
+        n_hops_total = max((len(x) - hop) // hop + 1, 1)
+        snap_every = max(n_hops_total // 4, 1)
+        basis_snaps = [np.asarray(sess.state.b_d_head)]
+        snap_hops = [0]
         for i in range(0, len(x) - hop + 1, hop):
             t0 = time.perf_counter()
             y = sess.push(x[i: i + hop])
             lat.append(time.perf_counter() - t0)
             if len(y):
                 outs.append(y)
+            if args.viz_dir and (i // hop) % snap_every == 0 and i > 0:
+                basis_snaps.append(np.asarray(sess.state.b_d_head))
+                snap_hops.append(i // hop)
             if args.verbose and len(y) and (i // hop) % 50 == 0:
                 rms_in = float(np.sqrt((x[i: i + hop] ** 2).mean()))
                 rms_out = float(np.sqrt((y.astype(float) ** 2).mean()))
@@ -290,11 +298,34 @@ def cmd_demo(args) -> int:
     lat_ms = np.asarray(lat) * 1e3
     if args.output:
         write_wav_int16(args.output, out, fs)
+    viz_files = []
+    if args.ascii_spec:
+        from se_snmf_nat_tpu.utils.visualize import ascii_spectrogram
+        print("enhanced output spectrogram:")
+        print(ascii_spectrogram(out, fs))
+    if args.viz_dir:
+        from se_snmf_nat_tpu.utils.visualize import (
+            save_basis_evolution_png, save_spectrogram_png,
+            save_waveform_png)
+        vd = Path(args.viz_dir)
+        vd.mkdir(parents=True, exist_ok=True)
+        viz_files = [
+            str(save_spectrogram_png(x, fs, vd / "spectrogram_in.png",
+                                     "input spectrogram")),
+            str(save_spectrogram_png(out, fs, vd / "spectrogram_out.png",
+                                     "enhanced spectrogram")),
+            str(save_waveform_png(x[: len(out)], out, fs,
+                                  vd / "waveform.png")),
+        ]
+        if mode != "ms" and len(basis_snaps) > 1:
+            viz_files.append(str(save_basis_evolution_png(
+                basis_snaps, snap_hops, vd / "basis_evolution.png")))
     # steady-state amortized cost per hop (drop the compile-laden first 10%)
     steady = lat_ms[len(lat_ms) // 10:]
     amortized = float(steady.sum() / max(len(steady), 1))
     print(json.dumps({
         "mode": mode, "hops": len(lat),
+        "viz": viz_files,
         "hop_latency_ms": {"p50": round(float(np.percentile(lat_ms, 50)), 2),
                            "p95": round(float(np.percentile(lat_ms, 95)), 2),
                            "amortized_steady": round(amortized, 2),
@@ -451,6 +482,12 @@ def build_parser() -> argparse.ArgumentParser:
     dm.add_argument("--verbose", action="store_true")
     dm.add_argument("--block", type=int, default=1,
                     help="frames per device call (latency/throughput knob)")
+    dm.add_argument("--viz-dir",
+                    help="dump session PNGs here: input/enhanced "
+                         "spectrograms, waveforms, basis evolution "
+                         "(the SE_GUI.m plot analogs)")
+    dm.add_argument("--ascii-spec", action="store_true",
+                    help="print an ASCII spectrogram of the output")
     _common_enh_args(dm)
     dm.set_defaults(fn=cmd_demo)
 

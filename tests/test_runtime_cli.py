@@ -170,6 +170,44 @@ def test_cli_enhance_and_eval(small_enh, wav_db, tmp_path, capsys,
 
 
 @pytest.mark.slow
+def test_cli_demo_viz_artifacts(wav_db, tmp_path, capsys):
+    """cli demo with --viz-dir dumps the SE_GUI plot analogs (spectrograms,
+    waveform panel, basis evolution) and --ascii-spec prints a terminal
+    spectrogram (SE_GUI.m:437-479; src/func/myspectrogram.m role)."""
+    rng = np.random.default_rng(5)
+    f = default_config().signal.n_bins
+    from se_snmf_nat_tpu.io.basis import BasisPair, save_basis
+    pair = BasisPair(b_dft=rng.random((f, 100)) + 1e-3,
+                     b_mel=rng.random((64, 100)) + 1e-3)
+    save_basis(tmp_path / "b.npz", pair)
+    src = sorted(wav_db.iterdir())[0]
+    viz = tmp_path / "viz"
+    rc = cli_main(["demo", str(src), "--mode", "snmf", "--block", "8",
+                   "--viz-dir", str(viz), "--ascii-spec",
+                   "--speech-basis", str(tmp_path / "b.npz"),
+                   "--noise-basis", str(tmp_path / "b.npz")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    report = json.loads(out.strip().splitlines()[-1])
+    assert len(report["viz"]) == 4
+    for p in report["viz"]:
+        from pathlib import Path
+        assert Path(p).exists() and Path(p).stat().st_size > 1000
+    assert "enhanced output spectrogram:" in out
+    assert "0s" in out  # the ascii time axis rendered
+
+
+def test_ascii_spectrogram_shape():
+    from se_snmf_nat_tpu.utils.visualize import ascii_spectrogram
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(16000) * 1000
+    art = ascii_spectrogram(x, 16000, rows=8, cols=40)
+    lines = art.splitlines()
+    assert len(lines) == 10  # 8 rows + axis + time labels
+    assert all(len(l) >= 40 for l in lines[:8])
+
+
+@pytest.mark.slow
 def test_cli_train(wav_db, tmp_path, capsys):
     rc = cli_main(["train", "--db", str(wav_db), "--basis-dir",
                    str(tmp_path / "bdir"), "--rank", "6",
