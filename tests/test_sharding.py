@@ -74,3 +74,45 @@ def test_dp_enhancement_batch_sharded(mesh, reference_bases, m03_wav):
     for i in range(8):
         np.testing.assert_allclose(np.asarray(ys[i]), np.asarray(y0),
                                    rtol=0, atol=1e-4)
+
+
+def test_model_sharded_h_solve_matches_unsharded():
+    """Real TP compute: dictionary columns sharded over 'model' (2x4 mesh).
+    The psum'd global-lambda H-solve must reproduce the unsharded
+    snmf_h_solve_columns to summation-order rounding, with identical
+    per-column convergence (exemplar-scale use case, SURVEY §2.7 TP)."""
+    from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_h_solve_columns
+    from se_snmf_nat_tpu.parallel.model_shard import (
+        snmf_h_solve_columns_model_sharded)
+
+    mesh = make_mesh((2, 4))
+    rng = np.random.default_rng(0)
+    f, r, n = 48, 64, 24
+    v = jnp.asarray(rng.random((f, n)) + 0.01)
+    w = jnp.asarray(rng.random((f, r)) + 0.01)
+    h0 = jnp.asarray(rng.random((r, n)) + 0.01)
+    params = SnmfParams(beta=1.0, sparsity=5.0, max_iter=60, conv_eps=1e-4,
+                        flr=1e-9, precision="highest")
+
+    ref = snmf_h_solve_columns(v, w, h0, params)
+    got = snmf_h_solve_columns_model_sharded(v, w, h0, params, mesh)
+    np.testing.assert_allclose(np.asarray(got.h), np.asarray(ref.h),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.w), np.asarray(ref.w),
+                               rtol=1e-12)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(float(got.div), float(ref.div), rtol=1e-9)
+    # H really is model-sharded (atoms split over the 'model' axis)
+    assert not got.h.sharding.is_fully_replicated
+
+
+def test_model_sharded_rank_guard():
+    from se_snmf_nat_tpu.nmf.solver import SnmfParams
+    from se_snmf_nat_tpu.parallel.model_shard import (
+        snmf_h_solve_columns_model_sharded)
+    mesh = make_mesh((2, 4))
+    params = SnmfParams()
+    with pytest.raises(ValueError):
+        snmf_h_solve_columns_model_sharded(
+            jnp.ones((8, 4)), jnp.ones((8, 6)), jnp.ones((6, 4)),
+            params, mesh)
