@@ -236,25 +236,63 @@ def cmd_demo(args) -> int:
     """Simulated real-time streaming demo — the GUI mic loop (SE_GUI.m:
     372-516) as a terminal program: hop-by-hop enhancement with live
     latency/level telemetry.  Modes mirror the GUI: snmf (adaptive,
-    SNMF-NA), snmf-fixed (no adaptation), ms (MMSE)."""
+    SNMF-NA), snmf-fixed (no adaptation), ms (MMSE).
+
+    Live capture (the dsp_record.m role, device-independent): input '-'
+    reads raw little-endian int16 mono PCM from stdin hop by hop, so any
+    OS capture tool is the microphone::
+
+        arecord -f S16_LE -r 16000 -c 1 | \\
+            python -m se_snmf_nat_tpu demo - --pcm-out > enhanced.pcm
+
+    --pcm-out streams enhanced hops to stdout as raw int16 as they are
+    produced (telemetry JSON then goes to stderr)."""
     import time
     import numpy as np
     from se_snmf_nat_tpu.io.wavio import read_wav_int16, write_wav_int16
-    x, fs = read_wav_int16(args.input)
+
+    live = args.input == "-"
+    if live:
+        fs = args.live_rate
+    else:
+        x_file, fs = read_wav_int16(args.input)
     hop = int(0.01 * fs)
     mode = args.mode
+    report_stream = sys.stderr if args.pcm_out else sys.stdout
+
+    def hop_source():
+        if live:
+            while True:
+                buf = sys.stdin.buffer.read(hop * 2)
+                if len(buf) < hop * 2:
+                    return
+                yield np.frombuffer(buf, "<i2").astype(np.float64)
+        else:
+            for i in range(0, len(x_file) - hop + 1, hop):
+                yield x_file[i: i + hop]
+
+    def emit(y):
+        if args.pcm_out and len(y):
+            sys.stdout.buffer.write(
+                np.asarray(y, np.int16).astype("<i2").tobytes())
+            sys.stdout.buffer.flush()
+
+    in_hops = []
+    outs = []
+    lat = []
+    basis_snaps, snap_hops = [], []
     if mode == "ms":
         from se_snmf_nat_tpu.enhance.ms import MmseEnhancer
         enh = MmseEnhancer(fs, dtype=_jnp_dtype(args.dtype))
         st = None
-        outs = []
-        lat = []
-        for i in range(0, len(x) - hop + 1, hop):
+        for chunk in hop_source():
+            in_hops.append(np.asarray(chunk))
             t0 = time.perf_counter()
-            y, st = enh.enhance(x[i: i + hop], state=st, return_state=True)
+            y, st = enh.enhance(chunk, state=st, return_state=True)
             lat.append(time.perf_counter() - t0)
             if len(y):
                 outs.append(y)
+                emit(y)
         out = np.concatenate(outs) if outs else np.zeros(0, np.int16)
     else:
         from se_snmf_nat_tpu.config import preset
@@ -270,39 +308,48 @@ def cmd_demo(args) -> int:
         enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
                            noise.b_dft, dtype=_jnp_dtype(args.dtype))
         sess = StreamingSession(enh, block_frames=args.block)
-        sess.push(x[: hop * args.block])     # warm the jit before timing
+        sess.push(np.zeros(hop * args.block))  # warm the jit before timing
         sess = StreamingSession(enh, block_frames=args.block)
-        outs = []
-        lat = []
         # basis-evolution snapshots (the SE_GUI.m:466-479 plot refresh role)
-        n_hops_total = max((len(x) - hop) // hop + 1, 1)
-        snap_every = max(n_hops_total // 4, 1)
+        snap_every = 100 if live else max(
+            (len(x_file) - hop) // hop // 4, 1)
         basis_snaps = [np.asarray(sess.state.b_d_head)]
         snap_hops = [0]
-        for i in range(0, len(x) - hop + 1, hop):
+        for h_idx, chunk in enumerate(hop_source()):
+            in_hops.append(np.asarray(chunk))
             t0 = time.perf_counter()
-            y = sess.push(x[i: i + hop])
+            y = sess.push(chunk)
             lat.append(time.perf_counter() - t0)
             if len(y):
                 outs.append(y)
-            if args.viz_dir and (i // hop) % snap_every == 0 and i > 0:
+                emit(y)
+            if args.viz_dir and h_idx > 0 and h_idx % snap_every == 0:
                 basis_snaps.append(np.asarray(sess.state.b_d_head))
-                snap_hops.append(i // hop)
-            if args.verbose and len(y) and (i // hop) % 50 == 0:
-                rms_in = float(np.sqrt((x[i: i + hop] ** 2).mean()))
+                snap_hops.append(h_idx)
+            if args.verbose and len(y) and h_idx % 50 == 0:
+                rms_in = float(np.sqrt((np.asarray(chunk,
+                                                   float) ** 2).mean()))
                 rms_out = float(np.sqrt((y.astype(float) ** 2).mean()))
-                print(f"  hop {i // hop:5d}  in {rms_in:7.0f}  "
-                      f"out {rms_out:7.0f}  {lat[-1] * 1e3:6.2f} ms")
-        outs.append(sess.flush())
+                print(f"  hop {h_idx:5d}  in {rms_in:7.0f}  "
+                      f"out {rms_out:7.0f}  {lat[-1] * 1e3:6.2f} ms",
+                      file=report_stream)
+        tail = sess.flush()
+        outs.append(tail)
+        emit(tail)
         out = np.concatenate(outs)
+    if not lat:
+        print(json.dumps({"mode": mode, "hops": 0}), file=report_stream)
+        return 0
+    x = (np.concatenate(in_hops) if in_hops
+         else np.zeros(0)).astype(np.float64)
     lat_ms = np.asarray(lat) * 1e3
     if args.output:
         write_wav_int16(args.output, out, fs)
     viz_files = []
     if args.ascii_spec:
         from se_snmf_nat_tpu.utils.visualize import ascii_spectrogram
-        print("enhanced output spectrogram:")
-        print(ascii_spectrogram(out, fs))
+        print("enhanced output spectrogram:", file=report_stream)
+        print(ascii_spectrogram(out, fs), file=report_stream)
     if args.viz_dir:
         from se_snmf_nat_tpu.utils.visualize import (
             save_basis_evolution_png, save_spectrogram_png,
@@ -333,7 +380,7 @@ def cmd_demo(args) -> int:
         "realtime": bool(amortized < 10.0),
         "rms_in": round(float(np.sqrt((x.astype(float) ** 2).mean())), 1),
         "rms_out": round(float(np.sqrt((out.astype(float) ** 2).mean())), 1),
-    }))
+    }), file=report_stream)
     return 0
 
 
@@ -488,6 +535,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "(the SE_GUI.m plot analogs)")
     dm.add_argument("--ascii-spec", action="store_true",
                     help="print an ASCII spectrogram of the output")
+    dm.add_argument("--live-rate", type=int, default=16000,
+                    help="sample rate for '-' (stdin raw int16 PCM) input")
+    dm.add_argument("--pcm-out", action="store_true",
+                    help="stream enhanced raw int16 PCM to stdout "
+                         "(telemetry JSON moves to stderr)")
     _common_enh_args(dm)
     dm.set_defaults(fn=cmd_demo)
 
@@ -521,6 +573,13 @@ def _enable_compile_cache() -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # the deployment's site hook may re-force its own platform after env
+    # vars are read; re-assert the user's explicit JAX_PLATFORMS choice so
+    # `JAX_PLATFORMS=cpu python -m se_snmf_nat_tpu ...` means what it says
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     _enable_compile_cache()
     return args.fn(args)
 

@@ -104,13 +104,19 @@ def ms_derived(p: MsParams, fs: int) -> MsDerived:
     ham = 0.54 - 0.46 * np.cos(2.0 * np.pi * k / nf)
     w = np.sqrt(ham[:nf])
     w = w / np.sqrt(np.sum(w[0:nf:ni] ** 2))
+    # scalar fields as PYTHON floats (weak-typed in JAX): np.float64
+    # scalars would silently promote float32 scan carries to float64 when
+    # x64 is enabled, breaking the jitted MS step's carry invariant
     d = MsDerived(
-        ni=ni, nf=nf, tinc=tinc, a=np.exp(-tinc / p.ta),
-        aca=np.exp(-tinc / p.taca), amax=np.exp(-tinc / p.tamax),
-        aminh=np.exp(-tinc / p.taminh), bmax=np.exp(-tinc / p.tbmax),
-        snrexp=-tinc / p.tpfall, nv=nv, nd=nd, md=md, hd=hd, mv=mv, hv=hv,
+        ni=ni, nf=nf, tinc=tinc, a=float(np.exp(-tinc / p.ta)),
+        aca=float(np.exp(-tinc / p.taca)),
+        amax=float(np.exp(-tinc / p.tamax)),
+        aminh=float(np.exp(-tinc / p.taminh)),
+        bmax=float(np.exp(-tinc / p.tbmax)),
+        snrexp=float(-tinc / p.tpfall), nv=nv, nd=nd, md=md, hd=hd,
+        mv=mv, hv=hv,
         nsms=10.0 ** (np.asarray(p.nsmdb) * nv * tinc / 10.0),
-        qeqimax=1.0 / p.qeqmin, qeqimin=1.0 / p.qeqmax, win=w)
+        qeqimax=float(1.0 / p.qeqmin), qeqimin=float(1.0 / p.qeqmax), win=w)
     d.nu_eff = nu
     return d
 

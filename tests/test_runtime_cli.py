@@ -197,6 +197,41 @@ def test_cli_demo_viz_artifacts(wav_db, tmp_path, capsys):
     assert "0s" in out  # the ascii time axis rendered
 
 
+@pytest.mark.slow
+def test_cli_demo_live_pcm_stream(wav_db, tmp_path, capsys):
+    """Live capture path (dsp_record.m role): demo '-' consumes raw int16
+    PCM from stdin hop by hop and --pcm-out streams enhanced PCM to stdout;
+    the result equals the file-mode demo bit for bit."""
+    import os
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+    src = sorted(wav_db.iterdir())[0]
+    x, fs = read_wav_int16(src)
+
+    out_wav = tmp_path / "file_mode.wav"
+    rc = cli_main(["demo", str(src), "--mode", "ms", "-o", str(out_wav)])
+    assert rc == 0
+    capsys.readouterr()
+    want, _ = read_wav_int16(out_wav)
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu",
+                "PYTHONPATH": str(repo) + os.pathsep
+                + env.get("PYTHONPATH", "")})
+    p = subprocess.run(
+        [_sys.executable, "-m", "se_snmf_nat_tpu", "demo", "-",
+         "--mode", "ms", "--pcm-out", "--live-rate", str(fs)],
+        input=np.asarray(x, np.int16).astype("<i2").tobytes(),
+        capture_output=True, env=env, timeout=240)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = np.frombuffer(p.stdout, "<i2")
+    report = json.loads(p.stderr.decode().strip().splitlines()[-1])
+    assert report["hops"] == len(x) // (fs // 100)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_ascii_spectrogram_shape():
     from se_snmf_nat_tpu.utils.visualize import ascii_spectrogram
     rng = np.random.default_rng(0)
