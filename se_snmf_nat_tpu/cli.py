@@ -410,6 +410,21 @@ def cmd_eval(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    if args.latency:
+        import jax.numpy as jnp
+        from se_snmf_nat_tpu.config import default_config
+        from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
+        from se_snmf_nat_tpu.io.wavio import read_wav_int16
+        from se_snmf_nat_tpu.runtime.profiling import measure_hop_latency
+        from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+        cfg = default_config()
+        speech, noise = load_reference_speech_noise(cfg.sep.r_d)
+        x, fs = read_wav_int16(
+            "/root/reference/wav/M03_423C0213_STR.CH6.wav")
+        enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                           noise.b_dft, dtype=jnp.float32)
+        print(json.dumps(measure_hop_latency(enh, x)))
+        return 0
     if args.scaling:
         import jax.numpy as jnp
         from se_snmf_nat_tpu.config import default_config
@@ -552,6 +567,9 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.add_argument("--scaling", action="store_true",
                    help="measure DP scaling over available devices")
+    b.add_argument("--latency", action="store_true",
+                   help="split per-hop device compute from per-call "
+                        "dispatch overhead (real-time budget check)")
     b.add_argument("--per-device-batch", type=int, default=16)
     b.set_defaults(fn=cmd_bench)
     return p

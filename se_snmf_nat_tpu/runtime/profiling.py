@@ -71,3 +71,71 @@ class StageTimer:
 
     def json(self) -> str:
         return json.dumps(self.report())
+
+
+def measure_hop_latency(enh, x: "np.ndarray", n_rep: int = 3,
+                        n_calls: int = 60) -> dict:
+    """Separate per-hop DEVICE compute from per-call DISPATCH overhead.
+
+    The reference's real-time budget is one 10 ms hop per engine step
+    (settings/initial_setting_SNMF_NAT.m:22-27).  On this bench the chip
+    sits behind a network tunnel, so a single-hop device call carries tens
+    of ms of dispatch overhead that a co-located deployment would not pay.
+    This measurement produces both numbers so the deployment story is
+    quantified rather than asserted:
+
+      * ``device_ms_per_hop`` — one dispatch runs the WHOLE utterance
+        through the exact masked scan (stream/pipeline.py run); elapsed /
+        n_frames is the true per-hop device compute (STFT + engine step +
+        iSTFT), free of per-call overhead.
+      * ``singlehop_wall_ms`` — median wall time of a block_frames=1
+        StreamingSession device call on this bench.
+      * ``dispatch_overhead_ms`` — their difference: what the tunnel (plus
+        jit dispatch) costs per call, i.e. what moving the host next to
+        the chip removes.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from se_snmf_nat_tpu.stream.streaming import StreamingSession
+
+    s = enh.cfg.signal
+    true_frames = enh.frames_for(np.asarray(x, np.float64))
+    t_true = true_frames.shape[0]
+    frames = jnp.asarray(enh._pad_frames(true_frames), enh.dtype)
+    t_valid = jnp.asarray(t_true, jnp.int32)
+
+    y, _ = enh._run_masked(frames, enh.initial_state(), t_valid)  # warm
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        y, _ = enh._run_masked(frames, enh.initial_state(), t_valid)
+    jax.block_until_ready(y)
+    # divide by EXECUTED steps: bucket-padding frames run the same masked
+    # per-step compute, so per-hop cost is elapsed / padded count
+    device_ms_per_hop = (time.perf_counter() - t0) / n_rep \
+        / frames.shape[0] * 1e3
+
+    sess = StreamingSession(enh, block_frames=1)
+    hop = np.zeros(s.frameshift)
+    sess.push(x[: s.frameshift * 4])            # warm the 1-hop executable
+    laps = []
+    for _ in range(n_calls):
+        t0 = time.perf_counter()
+        sess.push(hop, quantize=False)
+        laps.append(time.perf_counter() - t0)
+    singlehop_wall_ms = float(np.median(laps) * 1e3)
+
+    hop_budget_ms = s.frameshift / s.fs * 1e3
+    return {
+        "device_ms_per_hop": round(device_ms_per_hop, 3),
+        "singlehop_wall_ms": round(singlehop_wall_ms, 2),
+        "dispatch_overhead_ms": round(
+            singlehop_wall_ms - device_ms_per_hop, 2),
+        "hop_budget_ms": round(hop_budget_ms, 1),
+        "device_within_budget": bool(device_ms_per_hop < hop_budget_ms),
+        "singlehop_within_budget_here": bool(
+            singlehop_wall_ms < hop_budget_ms),
+        "n_frames": int(t_true),
+    }

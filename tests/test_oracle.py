@@ -54,42 +54,47 @@ def test_oracle_matches_golden_lm(reference_bases, lm_wav, lm_golden):
     assert np.abs(d[:5500]).max() <= 16      # measured 5
 
 
-def _block_plan_output(x, reference_bases):
+def _block_plan_output(x, reference_bases, k_block):
     import jax.numpy as jnp
     from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
     speech, noise = reference_bases
     enh = SnmfEnhancer(default_config(), speech.b_dft, noise.b_dft,
                        speech.b_dft, noise.b_dft, dtype=jnp.float32,
-                       block_adapt=16)
+                       block_adapt=k_block)
     return enh.enhance(x)
 
 
 @pytest.mark.slow
-def test_block_plan_matches_golden_m03(reference_bases, m03_wav, m03_golden):
-    """The SHIPPED headline path (f32 block-adaptive K=16) gates against the
-    golden wav, not just the float64 oracle.  Prefix exactness is not gated:
-    the block plan's adaptation lags up to K frames by design
+@pytest.mark.parametrize("k_block", [16, 32])
+def test_block_plan_matches_golden_m03(reference_bases, m03_wav, m03_golden,
+                                       k_block):
+    """The SHIPPED f32 block-adaptive plans gate against the golden wav, not
+    just the float64 oracle: K=32 is the headline bench point, K=16 the
+    quality-identical-to-exact point (r2 sweep, bench.py).  Prefix exactness
+    is not gated: the block plan's adaptation lags up to K frames by design
     (stream/block_adaptive.py docstring)."""
     x, _ = m03_wav
     ref, _ = m03_golden
-    out = _block_plan_output(x, reference_bases)
+    out = _block_plan_output(x, reference_bases, k_block)
     assert len(out) == len(ref)
     d = out.astype(np.int64) - ref.astype(np.int64)
     corr = np.corrcoef(out, ref)[0, 1]
-    assert corr > 0.99, corr                 # measured 0.9963
-    assert np.abs(d).mean() < 150.0          # measured 75.2
+    assert corr > 0.99, corr                 # measured .9963 (K16) .9941 (K32)
+    assert np.abs(d).mean() < 200.0          # measured 75.2 (K16)
 
 
 @pytest.mark.slow
-def test_block_plan_matches_golden_lm(reference_bases, lm_wav, lm_golden):
+@pytest.mark.parametrize("k_block", [16, 32])
+def test_block_plan_matches_golden_lm(reference_bases, lm_wav, lm_golden,
+                                      k_block):
     x, _ = lm_wav
     ref, _ = lm_golden
-    out = _block_plan_output(x, reference_bases)
+    out = _block_plan_output(x, reference_bases, k_block)
     assert len(out) == len(ref)
     d = out.astype(np.int64) - ref.astype(np.int64)
     corr = np.corrcoef(out, ref)[0, 1]
-    assert corr > 0.99, corr                 # measured 0.9958
-    assert np.abs(d).mean() < 100.0          # measured 48.7
+    assert corr > 0.99, corr                 # measured .9958 (K16) .9961 (K32)
+    assert np.abs(d).mean() < 120.0          # measured 48.7 (K16)
 
 
 @pytest.mark.slow

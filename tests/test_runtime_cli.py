@@ -305,3 +305,19 @@ def test_cli_bnmf_slot_clear_error(capsys):
     with pytest.raises(SystemExit) as e:
         cli_main(["enhance", "x.wav", "--algorithm", "bnmf"])
     assert "BNMF_nmoh" in str(e.value)
+
+
+def test_measure_hop_latency_mechanics(small_enh):
+    """Latency split harness (bench --latency): device per-hop compute and
+    single-hop dispatch both come back positive and self-consistent; real
+    numbers are captured on the bench chip (BASELINE.md)."""
+    from se_snmf_nat_tpu.runtime.profiling import measure_hop_latency
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(FS // 2) * 3000
+    rep = measure_hop_latency(small_enh, x, n_rep=1, n_calls=5)
+    assert rep["device_ms_per_hop"] > 0
+    assert rep["singlehop_wall_ms"] > 0
+    assert rep["hop_budget_ms"] == 10.0
+    assert rep["n_frames"] > 0
+    assert rep["dispatch_overhead_ms"] == pytest.approx(
+        rep["singlehop_wall_ms"] - rep["device_ms_per_hop"], abs=0.02)
