@@ -425,6 +425,19 @@ def cmd_bench(args) -> int:
                            noise.b_dft, dtype=jnp.float32)
         print(json.dumps(measure_hop_latency(enh, x)))
         return 0
+    if args.serving:
+        import jax.numpy as jnp
+        from se_snmf_nat_tpu.config import default_config
+        from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
+        from se_snmf_nat_tpu.runtime.profiling import (
+            measure_serving_capacity)
+        from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+        cfg = default_config()
+        speech, noise = load_reference_speech_noise(cfg.sep.r_d)
+        enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                           noise.b_dft, dtype=jnp.float32)
+        print(json.dumps(measure_serving_capacity(enh)))
+        return 0
     if args.scaling:
         import jax.numpy as jnp
         from se_snmf_nat_tpu.config import default_config
@@ -570,6 +583,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--latency", action="store_true",
                    help="split per-hop device compute from per-call "
                         "dispatch overhead (real-time budget check)")
+    b.add_argument("--serving", action="store_true",
+                   help="measure max concurrent real-time streams "
+                        "(lockstep MultiStreamSession fleet)")
     b.add_argument("--per-device-batch", type=int, default=16)
     b.set_defaults(fn=cmd_bench)
     return p

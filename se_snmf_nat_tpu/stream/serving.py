@@ -1,0 +1,218 @@
+"""Multi-stream serving session: B concurrent real-time streams, one
+device program.
+
+The reference's live path serves exactly one stream per MATLAB process
+(GUI mic loop SE_GUI.m:372-516; filewise queue filewise_run_IS16.m:102-169).
+A TPU chip at these model sizes is grossly underutilized by one stream
+(device compute is ~0.16 ms per 10 ms hop — bench --latency), so the
+serving plan batches a fleet: every lane is an independent stream (its own
+engine state, OLA chain and output), but each hop tick runs ONE vmapped
+device call for all lanes — the MXU sees (B·K)-wide GEMM batches instead
+of K-wide, and the per-call dispatch cost is paid once per fleet, not per
+stream.
+
+Lanes advance in lockstep on a shared hop clock (the natural shape for a
+fixed fleet of channels sampled at the same rate — multi-mic rigs, call
+decoding farms).  Per-lane outputs are bit-identical to running B separate
+StreamingSessions at x64 (CI-gated — vmap only adds a batch axis to the
+same jitted program).  On TPU at f32 the batched GEMMs tile differently,
+which the adaptive dictionary recursion amplifies along the documented
+trajectory-divergence envelope (measured on-chip: adaptation OFF, fleet
+matches single sessions to 1.3e-3 max-abs on int16-scale audio; adaptation
+ON, corr ~0.996 — the same envelope as the golden corr gates; see
+enhance/engine.py on conv_eps trajectory sensitivity).
+
+Capacity: ``bench --serving`` measures the largest lockstep fleet whose
+per-tick wall time still meets the real-time deadline on the bench chip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from se_snmf_nat_tpu.dsp.stft import analysis_frames, synthesis_frames
+from se_snmf_nat_tpu.io.wavio import enhanced_quantize
+
+
+class MultiStreamSession:
+    """Lockstep fleet of B streaming lanes over one SnmfEnhancer.
+
+    push/flush mirror StreamingSession with a leading lane axis: push
+    takes ``(B, n)`` samples (same n per lane — the lockstep clock) and
+    returns the ``(B, m)`` finalized samples available so far.
+
+    ``states``: optional per-lane engine states stacked on axis 0 (e.g.
+    resuming lanes from checkpoints); defaults to B copies of the
+    enhancer's initial state.
+
+    ``mesh``: optional jax.sharding.Mesh — lanes shard over the 'data'
+    axis so ONE serving session spans multiple chips (GSPMD partitions the
+    same vmapped program; lanes are independent, so no collectives are
+    emitted and scaling is embarrassingly parallel over ICI-local chips).
+    n_streams must divide evenly over the mesh's data axis.
+    """
+
+    def __init__(self, enhancer, n_streams: int, states=None,
+                 block_frames: int = 1, use_block_adaptive: bool = False,
+                 mesh=None):
+        self.enh = enhancer
+        self.n = int(n_streams)
+        s = enhancer.cfg.signal
+        self._s = s
+        self._delay = enhancer.cfg.delay
+        self._queue = np.zeros((self.n, s.framelength))
+        self._hold = np.zeros((self.n, 0))
+        self._acc = np.zeros((self.n, s.framelength))
+        self._l = 0
+        self._block = max(int(block_frames), 1)
+        self._pending: list[np.ndarray] = []   # each (B, framelength)
+        if states is None:
+            states = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (self.n,) + a.shape),
+                enhancer.initial_state())
+        self._mesh = mesh
+        if mesh is not None:
+            from se_snmf_nat_tpu.parallel.mesh import data_sharding
+            if self.n % mesh.shape["data"]:
+                raise ValueError(
+                    f"n_streams={self.n} must divide the mesh data axis "
+                    f"({mesh.shape['data']})")
+            self._shard_in = lambda a: jax.device_put(
+                a, data_sharding(mesh, a.ndim, 0))
+            states = jax.tree.map(self._shard_in, states)
+        else:
+            self._shard_in = lambda a: a
+        self.state = states
+
+        win = enhancer.win
+        eng = enhancer.engine
+
+        def run_one(frames, state, l0, n_valid):
+            # same per-lane program as StreamingSession.run_block; the
+            # lane axis is added purely by vmap below
+            mag, phase = analysis_frames(
+                frames, win, s.fftlength, s.pow, s.dc_bin,
+                s.nonzerofloor, s.preemph)
+            k = frames.shape[0]
+            idx = jnp.arange(k, dtype=jnp.int32)
+
+            def step(st, xs):
+                mag_t, l, i = xs
+                new_st, out = eng.step(st, (mag_t, l))
+                ok = i < n_valid
+                st_out = jax.tree.map(lambda a, b: jnp.where(ok, a, b),
+                                      new_st, st)
+                return st_out, jnp.where(ok, out, jnp.zeros_like(out))
+
+            state, xm = jax.lax.scan(step, state, (mag, l0 + idx, idx))
+            out = synthesis_frames(
+                xm, phase, s.framelength, s.fftlength, win, s.pow,
+                s.dc_bin_back, s.overlapscale, s.preemph)
+            return out, state
+
+        self._run_block = jax.jit(
+            jax.vmap(run_one, in_axes=(0, 0, None, None)))
+
+        self._run_block_fast = None
+        if use_block_adaptive and self._block > 1:
+            from se_snmf_nat_tpu.stream.block_adaptive import make_block_step
+            ba_step = make_block_step(enhancer.cfg, *enhancer._bases,
+                                      enhancer.dtype, k_block=self._block)
+
+            def run_one_fast(frames, state, l0):
+                mag, phase = analysis_frames(
+                    frames, win, s.fftlength, s.pow, s.dc_bin,
+                    s.nonzerofloor, s.preemph)
+                ls = l0 + jnp.arange(frames.shape[0], dtype=jnp.int32)
+                ok = jnp.ones(frames.shape[0], bool)
+                state, xm = ba_step(state, (mag, ls, ok))
+                out = synthesis_frames(
+                    xm, phase, s.framelength, s.fftlength, win, s.pow,
+                    s.dc_bin_back, s.overlapscale, s.preemph)
+                return out, state
+
+            self._run_block_fast = jax.jit(
+                jax.vmap(run_one_fast, in_axes=(0, 0, None)))
+
+    # ------------------------------------------------------------------
+    def _flush_pending(self) -> list[np.ndarray]:
+        """Run queued frame ticks through one vmapped call; returns emitted
+        (B, frameshift) hop chunks."""
+        if not self._pending:
+            return []
+        s = self._s
+        k = len(self._pending)
+        # (B, K, framelength)
+        frames = np.stack(
+            self._pending + [np.zeros((self.n, s.framelength))]
+            * (self._block - k), axis=1)
+        l0 = self._l - k + 1
+        frames_dev = self._shard_in(jnp.asarray(frames, self.enh.dtype))
+        if self._run_block_fast is not None and k == self._block:
+            outs, self.state = self._run_block_fast(
+                frames_dev, self.state, jnp.asarray(l0, jnp.int32))
+        else:
+            outs, self.state = self._run_block(
+                frames_dev, self.state,
+                jnp.asarray(l0, jnp.int32), jnp.asarray(k, jnp.int32))
+        outs = np.asarray(outs)                    # (B, K, framelength)
+        self._pending = []
+        emitted = []
+        for i in range(k):
+            self._acc += outs[:, i]
+            if l0 + i > self._delay:
+                emitted.append(self._acc[:, : s.frameshift].copy())
+            self._acc = np.concatenate(
+                [self._acc[:, s.frameshift:],
+                 np.zeros((self.n, s.frameshift))], axis=1)
+        return emitted
+
+    def _process_hop(self, hops: np.ndarray) -> np.ndarray | None:
+        s = self._s
+        self._queue = np.concatenate(
+            [self._queue[:, s.frameshift:], hops], axis=1)
+        self._l += 1
+        self._pending.append(self._queue.copy())
+        if len(self._pending) < self._block:
+            return None
+        out = self._flush_pending()
+        return np.concatenate(out, axis=1) if out else None
+
+    def push(self, samples: np.ndarray, quantize: bool = True) -> np.ndarray:
+        """Feed ``(B, n)`` int16-scale samples (lockstep across lanes);
+        returns the ``(B, m)`` finalized samples available so far."""
+        s = self._s
+        samples = np.asarray(samples, np.float64)
+        if samples.ndim != 2 or samples.shape[0] != self.n:
+            raise ValueError(f"push expects ({self.n}, n) samples")
+        buf = np.concatenate([self._hold, samples], axis=1)
+        outs = []
+        while buf.shape[1] >= s.frameshift:
+            hops, buf = buf[:, : s.frameshift], buf[:, s.frameshift:]
+            e = self._process_hop(hops)
+            if e is not None:
+                outs.append(e)
+        self._hold = buf
+        y = (np.concatenate(outs, axis=1) if outs
+             else np.zeros((self.n, 0)))
+        return enhanced_quantize(y) if quantize else y
+
+    def flush(self, quantize: bool = True) -> np.ndarray:
+        """EOF on every lane: reference flush semantics (whole queue zeroed
+        per flush frame — filewise_run_IS16.m:105-113), lockstep."""
+        s = self._s
+        self._hold = np.zeros((self.n, 0))
+        outs = []
+        for _ in range(self._delay + 1):
+            self._queue = np.zeros((self.n, s.framelength))
+            e = self._process_hop(np.zeros((self.n, s.frameshift)))
+            if e is not None:
+                outs.append(e)
+        tail = self._flush_pending()
+        if tail:
+            outs.append(np.concatenate(tail, axis=1))
+        y = (np.concatenate(outs, axis=1) if outs
+             else np.zeros((self.n, 0)))
+        return enhanced_quantize(y) if quantize else y

@@ -1,0 +1,128 @@
+"""MultiStreamSession: lockstep fleet vs B independent StreamingSessions —
+per-lane outputs must be bit-identical (vmap only adds a batch axis)."""
+
+from dataclasses import replace
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from se_snmf_nat_tpu.config import default_config
+from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+from se_snmf_nat_tpu.stream.serving import MultiStreamSession
+from se_snmf_nat_tpu.stream.streaming import StreamingSession
+
+
+@pytest.fixture(scope="module")
+def enh():
+    cfg = default_config()
+    cfg = cfg.evolve(
+        sep=replace(cfg.sep, r_x=8, r_d=8),
+        adapt=replace(cfg.adapt, r_a=4, m_a=10),
+        nmf=replace(cfg.nmf, max_iter=6),
+    )
+    rng = np.random.default_rng(0)
+    f = cfg.signal.n_bins
+    bx = rng.random((f, 8)) + 1e-3
+    bd = rng.random((f, 8)) + 1e-3
+    return SnmfEnhancer(cfg, bx, bd, bx, bd, dtype=jnp.float64,
+                        matlab_ad_blk_init=False)
+
+
+def _lanes(m03_wav, n, length):
+    x = m03_wav[0]
+    rng = np.random.default_rng(7)
+    lanes = [x[:length].astype(np.float64)]
+    for _ in range(n - 1):
+        lanes.append(rng.standard_normal(length) * 2000.0)
+    return np.stack(lanes)
+
+
+@pytest.mark.slow
+def test_fleet_matches_independent_sessions(enh, m03_wav):
+    xs = _lanes(m03_wav, 3, 12000)
+    fleet = MultiStreamSession(enh, 3)
+    got = np.concatenate([fleet.push(xs), fleet.flush()], axis=1)
+    for i in range(3):
+        sess = StreamingSession(enh)
+        want = np.concatenate([sess.push(xs[i]), sess.flush()])
+        np.testing.assert_array_equal(got[i], want)
+
+
+@pytest.mark.slow
+def test_fleet_block_mode_matches_single(enh, m03_wav):
+    xs = _lanes(m03_wav, 2, 12000)
+    fleet = MultiStreamSession(enh, 2, block_frames=8)
+    got = np.concatenate([fleet.push(xs), fleet.flush()], axis=1)
+    sess = StreamingSession(enh, block_frames=8)
+    want = np.concatenate([sess.push(xs[0]), sess.flush()])
+    np.testing.assert_array_equal(got[0], want)
+
+
+@pytest.mark.slow
+def test_fleet_irregular_lockstep_chunks(enh, m03_wav):
+    """Chunked pushes with non-hop-aligned sizes give the same streams as
+    one big lockstep push."""
+    xs = _lanes(m03_wav, 2, 8000)
+    want = MultiStreamSession(enh, 2)
+    w = np.concatenate([want.push(xs), want.flush()], axis=1)
+    fleet = MultiStreamSession(enh, 2)
+    rng = np.random.default_rng(3)
+    parts = []
+    i = 0
+    while i < xs.shape[1]:
+        n = int(rng.integers(1, 700))
+        parts.append(fleet.push(xs[:, i: i + n]))
+        i += n
+    parts.append(fleet.flush())
+    got = np.concatenate([p for p in parts if p.shape[1]], axis=1)
+    np.testing.assert_array_equal(got, w)
+
+
+@pytest.mark.slow
+def test_fleet_block_adaptive_matches_single(enh, m03_wav):
+    xs = _lanes(m03_wav, 2, 12000)
+    fleet = MultiStreamSession(enh, 2, block_frames=8,
+                               use_block_adaptive=True)
+    got = np.concatenate([fleet.push(xs), fleet.flush()], axis=1)
+    sess = StreamingSession(enh, block_frames=8, use_block_adaptive=True)
+    want = np.concatenate([sess.push(xs[0]), sess.flush()])
+    np.testing.assert_array_equal(got[0], want)
+
+
+def test_fleet_push_shape_check(enh):
+    fleet = MultiStreamSession(enh, 2)
+    with pytest.raises(ValueError):
+        fleet.push(np.zeros(100))
+
+
+def test_serving_capacity_mechanics(enh):
+    from se_snmf_nat_tpu.runtime.profiling import measure_serving_capacity
+    rep = measure_serving_capacity(enh, fleet_sizes=(1, 2), block_frames=4,
+                                   n_ticks=3)
+    assert rep["deadline_ms"] == 40.0
+    assert [r["fleet"] for r in rep["table"]] == [1, 2]
+    assert all(r["tick_ms"] > 0 for r in rep["table"])
+
+
+@pytest.mark.slow
+def test_fleet_mesh_sharded_matches_unsharded(enh, m03_wav):
+    """Lanes sharded over a 4-device 'data' mesh: same program partitioned
+    by GSPMD, so outputs must match the single-device fleet bit-for-bit."""
+    import jax
+    from se_snmf_nat_tpu.parallel.mesh import make_mesh
+    xs = _lanes(m03_wav, 4, 8000)
+    plain = MultiStreamSession(enh, 4)
+    want = np.concatenate([plain.push(xs), plain.flush()], axis=1)
+    mesh = make_mesh(devices=jax.devices()[:4], shape=(4, 1))
+    fleet = MultiStreamSession(enh, 4, mesh=mesh)
+    got = np.concatenate([fleet.push(xs), fleet.flush()], axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fleet_mesh_divisibility_check(enh):
+    import jax
+    from se_snmf_nat_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(devices=jax.devices()[:4], shape=(4, 1))
+    with pytest.raises(ValueError):
+        MultiStreamSession(enh, 3, mesh=mesh)
