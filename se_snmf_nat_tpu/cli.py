@@ -68,15 +68,29 @@ def _build_enhancer(args):
         from se_snmf_nat_tpu.multichannel.pmwf import PmwfEnhancer
         return PmwfEnhancer(cfg, dtype=dtype)
     if algo == "bnmf":
-        # the reference's Bayesian-NMF baseline depends on an external
-        # src/BNMF_nmoh/ package absent from its own repo
-        # (proc_BNMF_nmoh.m:3; SURVEY §7.4) — the CLI slot is kept so
-        # campaigns written against the reference's algorithm grid fail
-        # with a clear message instead of a typo error
-        raise SystemExit(
-            "algorithm 'bnmf' (Mohammadiha TASLP-2013 Bayesian NMF) is not "
-            "available: the reference repo itself lacks its src/BNMF_nmoh/ "
-            "dependency (proc_BNMF_nmoh.m:3)")
+        # Mohammadiha TASLP-2013 Bayesian NMF.  The reference dispatches
+        # this to an external src/BNMF_nmoh/ package absent from its own
+        # repo (proc_BNMF_nmoh.m:3) — this slot runs our TPU-native
+        # rebuild (bnmf/), which needs a clean-speech training file the
+        # same way the wrapper takes fspeech (proc_BNMF_nmoh.m:1,30).
+        from se_snmf_nat_tpu.bnmf import BnmfEnhancer, BnmfParams
+        from se_snmf_nat_tpu.io.wavio import read_wav_int16
+        if not getattr(args, "bnmf_speech", None):
+            raise SystemExit(
+                "algorithm 'bnmf' needs --bnmf-speech <clean speech wav> "
+                "to train the speech model (the reference wrapper's "
+                "fspeech argument, proc_BNMF_nmoh.m:1)")
+        speech, _ = read_wav_int16(args.bnmf_speech)
+        mode = getattr(args, "bnmf_mode", "online")
+        noise = None
+        if mode == "supervised":
+            if not getattr(args, "bnmf_noise", None):
+                raise SystemExit(
+                    "--bnmf-mode supervised needs --bnmf-noise <wav>")
+            noise, _ = read_wav_int16(args.bnmf_noise)
+        params = BnmfParams(k_speech=cfg.sep.r_x)
+        return BnmfEnhancer(speech=speech, noise=noise, method=mode,
+                            params=params, dtype=dtype)
     raise SystemExit(f"unknown algorithm {args.algorithm!r}")
 
 
@@ -473,6 +487,13 @@ def _common_enh_args(sp):
                     help="MS noise tracker (estnoisem / estnoiseg)")
     sp.add_argument("--speech-basis")
     sp.add_argument("--noise-basis")
+    sp.add_argument("--bnmf-speech",
+                    help="clean speech wav for the BNMF speech model "
+                         "(the reference wrapper's fspeech)")
+    sp.add_argument("--bnmf-noise",
+                    help="noise wav for BNMF supervised mode")
+    sp.add_argument("--bnmf-mode", default="online",
+                    choices=["online", "supervised"])
 
 
 def build_parser() -> argparse.ArgumentParser:

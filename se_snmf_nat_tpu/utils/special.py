@@ -61,6 +61,34 @@ def expint_e1(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x <= 0.0, jnp.inf, out)
 
 
+def digamma(x, xp=jnp):
+    """psi(x) for x > 0, backend-generic (pass ``xp=numpy`` for the oracle
+    mirrors — identical op sequence in either backend gives bit-identical
+    results, which the x64 parity gates rely on).
+
+    Recurrence psi(x) = psi(x+1) - 1/x shifts the argument to >= 8 (eight
+    unrolled where-guarded steps), then the Bernoulli asymptotic series
+    through x^-12 — double-precision accurate on the shifted domain.  Used
+    by the Bayesian-NMF variational updates (bnmf/vb.py), which need
+    exp(E[log theta]) = exp(psi(alpha)) * scale for Gamma posteriors."""
+    one = xp.ones_like(x)
+    acc = xp.zeros_like(x)
+    for _ in range(8):
+        need = x < 8.0
+        acc = acc - xp.where(need, 1.0 / x, 0.0)
+        x = x + xp.where(need, one, 0.0)
+    inv = 1.0 / x
+    inv2 = inv * inv
+    s = (xp.log(x) - 0.5 * inv
+         - inv2 * (1.0 / 12.0
+                   - inv2 * (1.0 / 120.0
+                             - inv2 * (1.0 / 252.0
+                                       - inv2 * (1.0 / 240.0
+                                                 - inv2 * (1.0 / 132.0
+                                                           - inv2 * (691.0 / 32760.0)))))))
+    return s + acc
+
+
 def bessel_i0_small(x: jnp.ndarray, terms: int = 14) -> jnp.ndarray:
     """Modified Bessel I0 by power series — double-accurate for |x| <= ~2.
     The amplitude-MMSE gain (src/MS/ssubmmse.m:181-184) only evaluates it
