@@ -35,10 +35,12 @@ def main() -> None:
 
     # production throughput plan: block-adaptive refits at K=32, the
     # fastest point on the measured speed/quality curve that still clears
-    # the golden corr>0.99 gate on BOTH fixtures (r2 sweep, real chip:
-    # K=16 3019 au-s/s corr .9966/.9963; K=32 3605 corr .9941/.9961;
-    # K=64 3569 corr .9876 FAILS M03) — see stream/block_adaptive.py;
-    # K=16 remains the quality-identical-to-exact point.
+    # the golden corr>0.99 gate on BOTH fixtures.  Quality sweep (r2, real
+    # chip): K=16 corr .9966/.9963 (identical to exact refits), K=32
+    # .9941/.9961, K=64 .9876 FAILS M03.  Speed after the ring/Q
+    # restructure (circular adaptation rings + whole-block banded-GEMM Q,
+    # stream/block_adaptive.py + enhance/blk_sparse.py): K=16 4459,
+    # K=32 5870, K=64 6515 au-s/s — K=32 stays the gated optimum.
     enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
                        noise.b_dft, dtype=jnp.float32, block_adapt=32)
     true_frames = enh.frames_for(x)

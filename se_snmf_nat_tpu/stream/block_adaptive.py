@@ -27,19 +27,59 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from se_snmf_nat_tpu.config import PipelineConfig
 from se_snmf_nat_tpu.dsp.stft import analysis_frames, overlap_add, synthesis_frames
-from se_snmf_nat_tpu.enhance.blk_sparse import block_sparsity_q
 from se_snmf_nat_tpu.enhance.state import EngineState
 from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_h_solve_columns, snmf_solve
 from se_snmf_nat_tpu.utils.matlab_compat import matlab_v4_rand_matrix
 
 
+def ring_ptr0() -> jnp.ndarray:
+    """Initial circular-ring write pointer for the block step's carry."""
+    return jnp.asarray(0, jnp.int32)
+
+
+def rings_to_shift_layout(state: EngineState, ptr: jnp.ndarray,
+                          rblk_shift: jnp.ndarray | None = None
+                          ) -> EngineState:
+    """Rotate the circularly-written rings back to the exact engine's
+    shift layout (oldest column first).
+
+    Inside the block plan the (F, m_a) noise-reference ring and the
+    (R_a, m_a) activation ring are written with a circular pointer — an
+    O(F) dynamic-update-slice per push instead of the O(F*m_a) whole-ring
+    shift the exact engine mirrors from the reference
+    (bnmf_sep_event_RT_IS16.m:263-292).  ``roll(ring, -ptr, axis=1)``
+    reproduces the shift-ring contents BIT-EXACTLY (each push lands in the
+    same chronological slot), so converting at a plan boundary hands the
+    exact engine / checkpoints / state-carry consumers the identical state
+    the shift implementation would have produced.
+
+    The local-SNR ring (``r_blk``) needs no conversion: the block plan
+    updates it once per block in shift layout (blk_sparse.py's
+    ``make_block_sparsity_q_block``)."""
+    del rblk_shift                     # kept for call-site compatibility
+    return state._replace(
+        lambda_d_blk=jnp.roll(state.lambda_d_blk, -ptr, axis=1),
+        ad_blk=jnp.roll(state.ad_blk, -ptr, axis=1))
+
+
 def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                     dtype=jnp.float32, k_block: int = 16):
-    """The K-frame block step (state, (mag_blk, ls)) -> (state, xm_tilde_seq)
-    shared by the offline plan and the streaming session."""
+    """The K-frame block step ((state, ring_ptr), (mag_blk, ls, ok)) ->
+    ((state, ring_ptr), xm_tilde_seq) shared by the offline plan and the
+    streaming session.
+
+    The carry's ``ring_ptr`` (see ``ring_ptr0``) is the circular write
+    position of the two m_a-deep adaptation rings: pushes are O(F)
+    dynamic-update-slice column writes instead of whole-ring shifts, and
+    the per-block refit rolls the rings back to chronological order before
+    consuming them — bit-identical results to the shift implementation at
+    ~1/m_a of the ring HBM traffic (the dominant cost of the frame scan at
+    production shapes: two (513+50, 100) rings re-materialized per frame
+    is ~21 GB per 64x750-frame batch)."""
     s, sep, ad, en, blk = cfg.signal, cfg.sep, cfg.adapt, cfg.enhance, cfg.blk
     if sep.basis_update_n or sep.basis_update_e:
         raise ValueError("block-adaptive plan: supervised configs only")
@@ -63,11 +103,18 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         beta=cfg.nmf.beta, sparsity=float(cfg.nmf.sparsity),
         max_iter=cfg.nmf.max_iter, conv_eps=cfg.nmf.conv_eps, flr=1e-9,
         precision=cfg.runtime.matmul_precision)
-    blk_kwargs = dict(n_bins=s.n_bins, p_len_k=blk.p_len_k,
-                      p_len_l=blk.p_len_l, dc_bin=s.dc_bin, gap=blk.blk_gap,
-                      alpha_p=blk.alpha_p, nonzerofloor=flr)
+    m_a = ad.m_a
+    q_block_fn = None
+    if blk.enabled:
+        from se_snmf_nat_tpu.enhance.blk_sparse import (
+            make_block_sparsity_q_block)
+        q_block_fn = make_block_sparsity_q_block(
+            k_block, n_bins=s.n_bins, p_len_k=blk.p_len_k,
+            p_len_l=blk.p_len_l, dc_bin=s.dc_bin, gap=blk.blk_gap,
+            alpha_p=blk.alpha_p)
 
-    def block_step(state: EngineState, xs):
+    def block_step(carry, xs):
+        state, ring_ptr = carry
         mag_blk, ls, ok_blk = xs                 # (K, F), (K,), (K,) bool
         w_sep = jnp.concatenate([bx, state.b_d_head, bd_tail], axis=1)
         if mel_mode:
@@ -99,16 +146,27 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         else:
             ym_dft_blk = mag_blk
 
+        # whole-block Q: no frame in the block depends on another frame's
+        # Q, so the windowed statistics leave the sequential scan and run
+        # as banded-matrix GEMMs once per block (blk_sparse.py); the
+        # local-SNR ring updates once per block in shift layout
+        if blk.enabled:
+            snr_blk = xm / jnp.maximum(dm, flr)              # (K, F)
+            snr_blk = snr_blk / jnp.max(snr_blk, axis=1, keepdims=True)
+            n_valid_blk = jnp.sum(ok_blk, dtype=jnp.int32)
+            q_blk, r_blk_new = q_block_fn(snr_blk, state.r_blk, ls,
+                                          n_valid_blk)
+        else:
+            q_blk = jnp.ones_like(mag_blk)
+            r_blk_new = state.r_blk
+        qc_blk = (1.0 - jnp.mean(q_blk, axis=1)) * ad.ar_up  # (K,)
+
         def frame_step(carry, fxs):
-            (lambda_dav, xm_tilde_prev, r_blk_c, lam_blk, ad_blk, switch,
-             any_refit, qctl_last, ax_last) = carry
-            ym, ym_dft, xm_hat, dm_hat, a_col, ad_mag, ax_mag, l, ok = fxs
-            if blk.enabled:
-                q, r_blk_c = block_sparsity_q(xm_hat, dm_hat, r_blk_c, l,
-                                              **blk_kwargs)
-            else:
-                q = jnp.ones_like(ym)
-            lambda_dav = jnp.where(l == 1, ym_dft, lambda_dav)
+            (lambda_dav_c, xm_tilde_prev,
+             switch, any_refit, qctl_last, ax_last) = carry
+            (ym, ym_dft, xm_hat, dm_hat, a_col, ad_mag, ax_mag, l, ok,
+             q, q_control) = fxs
+            lambda_dav = jnp.where(l == 1, ym_dft, lambda_dav_c)
             beta = jnp.clip(20.0 * jnp.log10(ad_mag / ax_mag) * en.beta,
                             en.beta, en.beta_max)
             lambda_dav = en.alpha_d * lambda_dav \
@@ -127,59 +185,75 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             ax_mag = jnp.where(in_init, jnp.asarray(flr, dtype), ax_mag)
             xm_tilde = gain * ym
 
-            # ring pushes + trigger (engine :263-292)
-            q_control = (1.0 - jnp.mean(q)) * ad.ar_up
+            # trigger (engine :263-292); the ring pushes themselves happen
+            # in ONE bulk write per block below — the scan only emits each
+            # frame's push candidate and flag
             trig = jnp.logical_and(bool(ad.adapt_train_n),
                                    q_control * ad_mag > ax_mag)
+            trig = jnp.logical_and(trig, ok)
             m_ref = (1.0 - gain).at[: s.dc_bin].set(flr)
             d_ref = jnp.where(in_init, ym, ym * m_ref)
-            lam_blk = jnp.where(
-                trig, jnp.concatenate([lam_blk[:, 1:], d_ref[:, None]], 1),
-                lam_blk)
-            ad_blk = jnp.where(
-                trig, jnp.concatenate(
-                    [ad_blk[:, 1:], a_col[r_x: r_x + r_a, None]], 1),
-                ad_blk)
-            trig = jnp.logical_and(trig, ok)
             # refit cycle: only every update_period-th trigger refits
             # (engine.py:214,234 — the reference's update_switch counter,
             # bnmf_sep_event_RT_IS16.m:293); the refit itself still waits
             # for the block boundary (the documented K-frame lag)
             do_solve = jnp.logical_and(trig,
                                        switch == ad.update_period)
-            switch = jnp.where(trig,
-                               jnp.where(do_solve, 1, switch + 1), switch)
+            switch_new = jnp.where(trig,
+                                   jnp.where(do_solve, 1, switch + 1), switch)
             qctl_last = jnp.where(do_solve, q_control, qctl_last)
             ax_last = jnp.where(ok, ax_mag, ax_last)
-            out = (jnp.where(ok, xm_tilde, jnp.zeros_like(xm_tilde)),)
-            new_carry = (lambda_dav, xm_tilde, r_blk_c, lam_blk, ad_blk,
-                         switch, any_refit | do_solve, qctl_last, ax_last)
+            out = jnp.where(ok, xm_tilde, jnp.zeros_like(xm_tilde))
             # bucket-padding frames must not touch the carried state
-            frozen = (carry[0], carry[1], carry[2], carry[3], carry[4],
-                      carry[5], any_refit, qctl_last, ax_last)
-            sel = lambda a, b: jnp.where(ok, a, b)
-            new_carry = jax.tree.map(sel, new_carry, frozen)
-            return new_carry, out[0]
+            new_carry = (jnp.where(ok, lambda_dav, lambda_dav_c),
+                         jnp.where(ok, xm_tilde, xm_tilde_prev),
+                         jnp.where(ok, switch_new, switch),
+                         any_refit | do_solve, qctl_last, ax_last)
+            return new_carry, (out, d_ref, trig)
 
-        carry0 = (state.lambda_dav, state.xm_tilde, state.r_blk,
-                  state.lambda_d_blk, state.ad_blk, state.update_switch,
+        carry0 = (state.lambda_dav, state.xm_tilde,
+                  state.update_switch,
                   jnp.asarray(False), jnp.asarray(0.0, dtype),
                   jnp.asarray(float(flr), dtype))
-        (lambda_dav, xm_tilde_last, r_blk_c, lam_blk, ad_blk, switch_out,
-         any_trig, q_control, a_x_last), xm_tilde_seq = jax.lax.scan(
+        (lambda_dav, xm_tilde_last, switch_out,
+         any_trig, q_control, a_x_last), (xm_tilde_seq, d_ref_seq, trig_seq) \
+            = jax.lax.scan(
                 frame_step, carry0,
                 (mag_blk, ym_dft_blk, xm, dm, a.T, a_d_mag, a_x_mag, ls,
-                 ok_blk))
+                 ok_blk, q_blk, qc_blk))
+
+        # bulk circular-ring push: the j-th triggered frame of the block
+        # lands in slot (ptr + j) % m_a — the same chronological slot the
+        # per-frame shift implementation fills (engine :263-292) — via one
+        # masked scatter per ring per BLOCK (untriggered frames target the
+        # out-of-bounds slot and drop), instead of per-frame ring shifts
+        # whose HBM traffic dominated the frame scan
+        rank = jnp.cumsum(trig_seq.astype(jnp.int32),
+                          dtype=jnp.int32) - jnp.asarray(1, jnp.int32)
+        pos = jnp.where(trig_seq, (ring_ptr + rank) % m_a,
+                        jnp.asarray(m_a, jnp.int32))
+        lam_blk = state.lambda_d_blk.at[:, pos].set(
+            d_ref_seq.T, mode="drop", unique_indices=False)
+        ad_blk = state.ad_blk.at[:, pos].set(
+            a[r_x: r_x + r_a], mode="drop", unique_indices=False)
+        ptr_out = ((ring_ptr + jnp.sum(trig_seq, dtype=jnp.int32)) % m_a
+                   ).astype(jnp.int32)
 
         # one refit per block if any VALID frame triggered (engine :287-346
-        # with the last valid triggered frame's gate statistics)
-        r_up = q_control * jnp.mean(ad_blk, axis=1) > a_x_last
+        # with the last valid triggered frame's gate statistics).  The rings
+        # roll back to chronological (shift) order first so the refit's
+        # GEMM reductions see the exact column order of the shift
+        # implementation — results are bit-identical, and the roll is one
+        # O(F*m_a) gather per BLOCK instead of per-frame shifts.
+        lam_s = jnp.roll(lam_blk, -ptr_out, axis=1)
+        ad_s = jnp.roll(ad_blk, -ptr_out, axis=1)
+        r_up = q_control * jnp.mean(ad_s, axis=1) > a_x_last
 
         def refit(op):
-            head, lam_blk, ad_blk, r_up = op
-            target = lam_blk if not mel_mode else melmat @ lam_blk
+            head, lam_s, ad_s, r_up = op
+            target = lam_s if not mel_mode else melmat @ lam_s
             w0 = head * r_up[None, :]
-            h0a = ad_blk * r_up[:, None]
+            h0a = ad_s * r_up[:, None]
             res = snmf_solve(target, w0, h0a, r_up, jnp.zeros(r_a, bool),
                              params, update_w=True, update_h=False,
                              active=any_trig)
@@ -188,13 +262,13 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             return merged[:, perm]
 
         head_new = jax.lax.cond(any_trig, refit, lambda op: op[0],
-                                (state.b_d_head, lam_blk, ad_blk, r_up))
+                                (state.b_d_head, lam_s, ad_s, r_up))
         new_state = state._replace(
             b_d_head=head_new, lambda_dav=lambda_dav,
-            xm_tilde=xm_tilde_last, r_blk=r_blk_c,
+            xm_tilde=xm_tilde_last, r_blk=r_blk_new,
             lambda_d_blk=lam_blk, ad_blk=ad_blk,
             update_switch=switch_out.astype(jnp.int32))
-        return new_state, xm_tilde_seq
+        return (new_state, ptr_out), xm_tilde_seq
 
     return block_step
 
@@ -217,7 +291,11 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         ls = jnp.arange(1, n_blocks * k_block + 1,
                         dtype=jnp.int32).reshape(n_blocks, k_block)
         ok = (ls <= t_valid)
-        state, xm_blocks = jax.lax.scan(block_step, state0, (mag_b, ls, ok))
+        (state, ptr), xm_blocks = jax.lax.scan(
+            block_step, (state0, ring_ptr0()), (mag_b, ls, ok))
+        # returned state keeps the external shift-ring contract (bit-exact
+        # — see rings_to_shift_layout) for carry/checkpoint/exact-plan use
+        state = rings_to_shift_layout(state, ptr)
         xm_tilde = xm_blocks.reshape(n_blocks * k_block, -1)
         out_frames = synthesis_frames(
             xm_tilde, phase[: n_blocks * k_block], s.framelength,

@@ -117,24 +117,28 @@ class MultiStreamSession:
 
         self._run_block_fast = None
         if use_block_adaptive and self._block > 1:
-            from se_snmf_nat_tpu.stream.block_adaptive import make_block_step
+            from se_snmf_nat_tpu.stream.block_adaptive import (
+                make_block_step, rings_to_shift_layout)
             ba_step = make_block_step(enhancer.cfg, *enhancer._bases,
                                       enhancer.dtype, k_block=self._block)
 
-            def run_one_fast(frames, state, l0):
+            def run_one_fast(frames, state, ptr, l0):
                 mag, phase = analysis_frames(
                     frames, win, s.fftlength, s.pow, s.dc_bin,
                     s.nonzerofloor, s.preemph)
                 ls = l0 + jnp.arange(frames.shape[0], dtype=jnp.int32)
                 ok = jnp.ones(frames.shape[0], bool)
-                state, xm = ba_step(state, (mag, ls, ok))
+                (state, ptr), xm = ba_step((state, ptr), (mag, ls, ok))
                 out = synthesis_frames(
                     xm, phase, s.framelength, s.fftlength, win, s.pow,
                     s.dc_bin_back, s.overlapscale, s.preemph)
-                return out, state
+                return out, state, ptr
 
             self._run_block_fast = jax.jit(
-                jax.vmap(run_one_fast, in_axes=(0, 0, None)))
+                jax.vmap(run_one_fast, in_axes=(0, 0, 0, None)))
+            # per-lane circular ring pointers (see StreamingSession)
+            self._ba_ptr = self._shard_in(jnp.zeros((self.n,), jnp.int32))
+            self._rings_to_shift = jax.jit(jax.vmap(rings_to_shift_layout))
 
     # ------------------------------------------------------------------
     def _flush_pending(self) -> list[np.ndarray]:
@@ -151,9 +155,16 @@ class MultiStreamSession:
         l0 = self._l - k + 1
         frames_dev = self._shard_in(jnp.asarray(frames, self.enh.dtype))
         if self._run_block_fast is not None and k == self._block:
-            outs, self.state = self._run_block_fast(
-                frames_dev, self.state, jnp.asarray(l0, jnp.int32))
+            outs, self.state, self._ba_ptr = self._run_block_fast(
+                frames_dev, self.state, self._ba_ptr,
+                jnp.asarray(l0, jnp.int32))
         else:
+            if self._run_block_fast is not None:
+                # partial tail via the exact scan: convert rings to shift
+                # layout per lane (bit-exact) and restart the pointers
+                self.state = self._rings_to_shift(self.state, self._ba_ptr)
+                self._ba_ptr = self._shard_in(
+                    jnp.zeros((self.n,), jnp.int32))
             outs, self.state = self._run_block(
                 frames_dev, self.state,
                 jnp.asarray(l0, jnp.int32), jnp.asarray(k, jnp.int32))

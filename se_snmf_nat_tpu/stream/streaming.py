@@ -82,24 +82,30 @@ class StreamingSession:
         # block at flush still goes through the exact masked scan above
         self._run_block_fast = None
         if use_block_adaptive and self._block > 1:
-            from se_snmf_nat_tpu.stream.block_adaptive import make_block_step
+            from se_snmf_nat_tpu.stream.block_adaptive import (
+                make_block_step, ring_ptr0, rings_to_shift_layout)
             ba_step = make_block_step(enhancer.cfg, *enhancer._bases,
                                       enhancer.dtype, k_block=self._block)
 
             @jax.jit
-            def run_block_fast(frames, state, l0):
+            def run_block_fast(frames, state, ptr, l0):
                 mag, phase = analysis_frames(
                     frames, win, s.fftlength, s.pow, s.dc_bin,
                     s.nonzerofloor, s.preemph)
                 ls = l0 + jnp.arange(frames.shape[0], dtype=jnp.int32)
                 ok = jnp.ones(frames.shape[0], bool)
-                state, xm = ba_step(state, (mag, ls, ok))
+                (state, ptr), xm = ba_step((state, ptr), (mag, ls, ok))
                 out = synthesis_frames(
                     xm, phase, s.framelength, s.fftlength, win, s.pow,
                     s.dc_bin_back, s.overlapscale, s.preemph)
-                return out, state
+                return out, state, ptr
 
             self._run_block_fast = run_block_fast
+            # circular write position of the block step's adaptation rings,
+            # carried across pushes exactly like the offline plan's scan
+            # carry; reset whenever the state converts to shift layout
+            self._ba_ptr = ring_ptr0()
+            self._rings_to_shift = jax.jit(rings_to_shift_layout)
 
     def _flush_pending(self) -> list[np.ndarray]:
         """Run the queued frames through one jitted scan; returns emitted
@@ -112,10 +118,17 @@ class StreamingSession:
                           + [np.zeros(s.framelength)] * (self._block - k))
         l0 = self._l - k + 1
         if self._run_block_fast is not None and k == self._block:
-            outs, self.state = self._run_block_fast(
+            outs, self.state, self._ba_ptr = self._run_block_fast(
                 jnp.asarray(frames, self.enh.dtype), self.state,
-                jnp.asarray(l0, jnp.int32))
+                self._ba_ptr, jnp.asarray(l0, jnp.int32))
         else:
+            if self._run_block_fast is not None:
+                # partial tail runs through the exact scan: hand it the
+                # shift-layout rings (bit-exact conversion) and restart the
+                # circular pointer at 0 over the rotated contents
+                from se_snmf_nat_tpu.stream.block_adaptive import ring_ptr0
+                self.state = self._rings_to_shift(self.state, self._ba_ptr)
+                self._ba_ptr = ring_ptr0()
             outs, self.state = self._run_block(
                 jnp.asarray(frames, self.enh.dtype), self.state,
                 jnp.asarray(l0, jnp.int32), jnp.asarray(k, jnp.int32))

@@ -63,6 +63,48 @@ def test_blk_sparse_matches_oracle():
         np.testing.assert_allclose(np.asarray(r_new), r_ref, atol=1e-15)
 
 
+def test_blk_sparse_block_batch_matches_sequential():
+    """The block plan's whole-block Q (banded-GEMM window sums,
+    make_block_sparsity_q_block) must reproduce the sequential shift-ring
+    formulation frame by frame — including the ring state at the block
+    boundary and the valid-prefix (padding) gating."""
+    from se_snmf_nat_tpu.enhance.blk_sparse import (
+        make_block_sparsity_q_block, snr_column)
+    cfg = default_config()
+    f = cfg.signal.n_bins
+    p = cfg.blk.p_len_l
+    k_block = 8
+    rng = np.random.default_rng(2)
+    kw = dict(n_bins=f, p_len_k=cfg.blk.p_len_k, p_len_l=p,
+              dc_bin=cfg.signal.dc_bin, gap=cfg.blk.blk_gap,
+              alpha_p=cfg.blk.alpha_p)
+    qb = make_block_sparsity_q_block(k_block, **kw)
+    xm = rng.random((3 * k_block, f)) + 0.01
+    dm = rng.random((3 * k_block, f)) + 0.01
+    for n_valid_last in (k_block, 3):      # full last block / padded tail
+        ring_seq = jnp.zeros((f, p))
+        ring_blk = jnp.zeros((f, p))
+        for b in range(3):
+            ls = jnp.arange(b * k_block + 1, (b + 1) * k_block + 1)
+            n_valid = k_block if b < 2 else n_valid_last
+            xm_b = jnp.asarray(xm[b * k_block: (b + 1) * k_block])
+            dm_b = jnp.asarray(dm[b * k_block: (b + 1) * k_block])
+            snr_b = jax.vmap(lambda x, d: snr_column(x, d, 1e-9))(xm_b, dm_b)
+            q_blk, ring_blk = qb(snr_b, ring_blk, ls,
+                                 jnp.asarray(n_valid, jnp.int32))
+            for j in range(k_block):
+                q_ref, ring_new = block_sparsity_q(
+                    xm_b[j], dm_b[j], ring_seq, ls[j],
+                    nonzerofloor=1e-9, **kw)
+                if j < n_valid:
+                    ring_seq = ring_new
+                    np.testing.assert_allclose(np.asarray(q_blk[j]),
+                                               np.asarray(q_ref),
+                                               rtol=0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(ring_blk), np.asarray(ring_seq),
+                                   rtol=0, atol=1e-15)
+
+
 def test_blk_sparse_gap1_recurrence():
     """gap=1 exercises the true DD recurrence path."""
     from dataclasses import replace
