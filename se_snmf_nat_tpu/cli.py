@@ -424,6 +424,34 @@ def cmd_eval(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    if args.trace:
+        # jax.profiler trace of one full block-adaptive batch call
+        # (SURVEY §5 'Tracing / profiling'): open args.trace with
+        # TensorBoard/XProf for the per-op device timeline
+        import jax
+        import jax.numpy as jnp
+        from se_snmf_nat_tpu.config import default_config
+        from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
+        from se_snmf_nat_tpu.io.wavio import read_wav_int16
+        from se_snmf_nat_tpu.runtime.profiling import annotate, trace
+        from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+        cfg = default_config()
+        speech, noise = load_reference_speech_noise(cfg.sep.r_d)
+        x, fs = read_wav_int16(
+            "/root/reference/wav/M03_423C0213_STR.CH6.wav")
+        enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                           noise.b_dft, dtype=jnp.float32, block_adapt=32)
+        y = enh.enhance(x)                      # compile outside the trace
+        with trace(args.trace):
+            with annotate("block_adaptive_enhance"):
+                y = enh.enhance(x)
+        import pathlib
+        files = [str(p.relative_to(args.trace))
+                 for p in pathlib.Path(args.trace).rglob("*") if p.is_file()]
+        print(json.dumps({"trace_dir": args.trace, "n_files": len(files),
+                          "rms_out": round(float(
+                              np.sqrt((y.astype(float) ** 2).mean())), 1)}))
+        return 0
     if args.latency:
         import jax.numpy as jnp
         from se_snmf_nat_tpu.config import default_config
@@ -608,6 +636,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="measure max concurrent real-time streams "
                         "(lockstep MultiStreamSession fleet)")
     b.add_argument("--per-device-batch", type=int, default=16)
+    b.add_argument("--trace",
+                   help="capture a jax.profiler trace of one enhancement "
+                        "call into this directory (view with "
+                        "TensorBoard/XProf)")
     b.set_defaults(fn=cmd_bench)
     return p
 

@@ -307,6 +307,24 @@ def test_cli_bnmf_slot_clear_error(capsys):
     assert "BNMF_nmoh" in str(e.value)
 
 
+def test_profiler_trace_mechanics(tmp_path):
+    """runtime.profiling.trace (bench --trace) captures a jax.profiler
+    dump: the trace directory gains profiler artifacts for a jitted call."""
+    import jax
+    import jax.numpy as jnp
+    from se_snmf_nat_tpu.runtime.profiling import annotate, trace
+
+    f = jax.jit(lambda a: jnp.sum(a * a))
+    a = jnp.arange(128.0)
+    float(f(a))                                 # compile outside the trace
+    out = tmp_path / "trace"
+    with trace(str(out)):
+        with annotate("probe"):
+            float(f(a))
+    files = [p for p in out.rglob("*") if p.is_file()]
+    assert files, "profiler trace produced no artifacts"
+
+
 def test_measure_hop_latency_mechanics(small_enh):
     """Latency split harness (bench --latency): device per-hop compute and
     single-hop dispatch both come back positive and self-consistent; real
