@@ -384,36 +384,51 @@ class BnmfEnhancer:
         if self.method == "supervised":
             sigma = float(np.sqrt(np.var(x, ddof=1))) or 1.0
         else:
-            head = x[: p.init_hops * p.ulen]
-            sigma = float(np.sqrt(np.var(head, ddof=1))) or 1.0
+            sigma = self.head_sigma(x)
         frames = frames_raw / sigma
         dt = self.dtype
         if self.method == "supervised":
             y_t = self._enhance_supervised(frames)
         else:
-            wn, u_n0, nos = _train_noise_init(x, p, dt)
-            f = nos.shape[0]
-            buf = np.zeros((f, p.buffer_len))
-            bmask = np.zeros(p.buffer_len)
-            ncols = min(nos.shape[1], p.buffer_len)
-            buf[:, :ncols] = nos[:, -ncols:]            # :91-97
-            bmask[:ncols] = 1.0
+            carry = self.init_online_carry(x)
             if self._scan is None:
                 self._scan = jax.jit(
                     lambda c, xs: jax.lax.scan(self._build_scan(), c, xs))
-            carry = (wn.shape.astype(dt), wn.scale.astype(dt),
-                     self.model.u0.astype(dt), u_n0.astype(dt),
-                     jnp.asarray(buf, dt), jnp.asarray(bmask, dt),
-                     jnp.asarray(ncols % p.buffer_len, jnp.int32),
-                     jnp.asarray(0, jnp.int32),
-                     jnp.zeros(p.wada_win, dt), jnp.zeros(p.wada_win, dt),
-                     jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dt))
             xs = (jnp.asarray(frames, dt),
                   jnp.arange(1, t + 1, dtype=jnp.int32))
             _, y_t = self._scan(carry, xs)
             y_t = np.asarray(y_t, np.float64)
         out = self._ola(y_t) * sigma
         return enhanced_quantize(out) if quantize else out
+
+    def init_online_carry(self, x_head: np.ndarray):
+        """Online-mode scan carry from the mixture head (needs at least
+        init_hops*ulen samples): trains the noise init (:85-99) and seeds
+        the noise-frame buffer (:91-97).  Shared by offline enhance() and
+        the push-based BnmfStreamingSession."""
+        p, dt = self.p, self.dtype
+        wn, u_n0, nos = _train_noise_init(np.asarray(x_head, np.float64),
+                                          p, dt)
+        f = nos.shape[0]
+        buf = np.zeros((f, p.buffer_len))
+        bmask = np.zeros(p.buffer_len)
+        ncols = min(nos.shape[1], p.buffer_len)
+        buf[:, :ncols] = nos[:, -ncols:]            # :91-97
+        bmask[:ncols] = 1.0
+        return (wn.shape.astype(dt), wn.scale.astype(dt),
+                self.model.u0.astype(dt), u_n0.astype(dt),
+                jnp.asarray(buf, dt), jnp.asarray(bmask, dt),
+                jnp.asarray(ncols % p.buffer_len, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+                jnp.zeros(p.wada_win, dt), jnp.zeros(p.wada_win, dt),
+                jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dt))
+
+    def head_sigma(self, x_head: np.ndarray) -> float:
+        """The noise-head scale the stream is normalized by (see
+        enhance() scale-coherence note)."""
+        head = np.asarray(x_head, np.float64)[: self.p.init_hops
+                                              * self.p.ulen]
+        return float(np.sqrt(np.var(head, ddof=1))) or 1.0
 
     def _enhance_supervised(self, frames: np.ndarray) -> np.ndarray:
         """All frames in one batched VB solve — the offline MXU plan."""

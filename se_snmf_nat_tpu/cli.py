@@ -250,7 +250,8 @@ def cmd_demo(args) -> int:
     """Simulated real-time streaming demo — the GUI mic loop (SE_GUI.m:
     372-516) as a terminal program: hop-by-hop enhancement with live
     latency/level telemetry.  Modes mirror the GUI: snmf (adaptive,
-    SNMF-NA), snmf-fixed (no adaptation), ms (MMSE).
+    SNMF-NA), snmf-fixed (no adaptation), ms (MMSE), bnmf (Bayesian NMF
+    online — needs --bnmf-speech).
 
     Live capture (the dsp_record.m role, device-independent): input '-'
     reads raw little-endian int16 mono PCM from stdin hop by hop, so any
@@ -307,6 +308,34 @@ def cmd_demo(args) -> int:
             if len(y):
                 outs.append(y)
                 emit(y)
+        out = np.concatenate(outs) if outs else np.zeros(0, np.int16)
+    elif mode == "bnmf":
+        # the third algorithm family live (proc_BNMF_nmoh.m's frame loop
+        # as a session); needs a clean-speech wav like the enhance slot
+        from se_snmf_nat_tpu.bnmf import (
+            BnmfEnhancer, BnmfParams, BnmfStreamingSession)
+        from se_snmf_nat_tpu.config import preset
+        if not getattr(args, "bnmf_speech", None):
+            raise SystemExit("demo --mode bnmf needs --bnmf-speech "
+                             "<clean speech wav> (proc_BNMF_nmoh.m:1)")
+        sp, _ = read_wav_int16(args.bnmf_speech)
+        cfg = preset(args.preset)
+        enh = BnmfEnhancer(speech=sp,
+                           params=BnmfParams(k_speech=cfg.sep.r_x),
+                           dtype=_jnp_dtype(args.dtype))
+        sess = BnmfStreamingSession(enh, block_frames=max(args.block, 1))
+        for chunk in hop_source():
+            in_hops.append(np.asarray(chunk))
+            t0 = time.perf_counter()
+            y = sess.push(chunk)
+            lat.append(time.perf_counter() - t0)
+            if len(y):
+                outs.append(y)
+                emit(y)
+        tail = sess.flush()
+        if len(tail):
+            outs.append(tail)
+            emit(tail)
         out = np.concatenate(outs) if outs else np.zeros(0, np.int16)
     else:
         from se_snmf_nat_tpu.config import preset
@@ -602,7 +631,7 @@ def build_parser() -> argparse.ArgumentParser:
     dm.add_argument("input")
     dm.add_argument("-o", "--output")
     dm.add_argument("--mode", default="snmf",
-                    choices=["snmf", "snmf-fixed", "ms"])
+                    choices=["snmf", "snmf-fixed", "ms", "bnmf"])
     dm.add_argument("--verbose", action="store_true")
     dm.add_argument("--block", type=int, default=1,
                     help="frames per device call (latency/throughput knob)")

@@ -145,6 +145,40 @@ def test_enhance_on_reference_wav_reduces_rms(m03_wav):
     assert np.all(np.isfinite(y))
 
 
+@pytest.mark.slow
+def test_streaming_session_bit_matches_offline():
+    """Push-based streaming (any chunking, any block size) must reproduce
+    the offline online-mode pipeline: same scan step in the same order.
+    XLA compiles the chunked scans as separate programs whose fusions
+    differ from the whole-signal scan in the last ulps (the same envelope
+    as the XLA-vs-numpy gates above), so the gate is shipped-int16
+    equality plus a tight float tolerance."""
+    from se_snmf_nat_tpu.bnmf import BnmfStreamingSession
+    from se_snmf_nat_tpu.io.wavio import enhanced_quantize
+    speech, _, mix, _ = _speech_noise_mix(seconds=1.5)
+    enh = BnmfEnhancer(speech=speech, params=_SMALL, dtype=jnp.float64)
+    want = enh.enhance(mix, quantize=False)
+    for chunk, block in ((160, 8), (997, 3)):   # hop-ish and ragged pushes
+        sess = BnmfStreamingSession(enh, block_frames=block)
+        outs = [sess.push(mix[i: i + chunk], quantize=False)
+                for i in range(0, len(mix), chunk)]
+        outs.append(sess.flush(quantize=False))
+        got = np.concatenate(outs)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+        np.testing.assert_array_equal(enhanced_quantize(got),
+                                      enhanced_quantize(want))
+
+
+def test_streaming_session_rejects_supervised():
+    from se_snmf_nat_tpu.bnmf import BnmfStreamingSession
+    speech, noise, _, _ = _speech_noise_mix(seconds=1.0)
+    enh = BnmfEnhancer(speech=speech, noise=noise, method="supervised",
+                       params=_SMALL, dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        BnmfStreamingSession(enh)
+
+
 def test_train_speech_model_shapes():
     speech, _, _, _ = _speech_noise_mix(seconds=1.0)
     model, trace = train_speech_model(speech, _SMALL, dtype=jnp.float64,

@@ -198,6 +198,24 @@ def test_cli_demo_viz_artifacts(wav_db, tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_cli_demo_bnmf_mode(wav_db, tmp_path, capsys):
+    """demo --mode bnmf drives the BnmfStreamingSession hop by hop (the
+    third algorithm family live)."""
+    wavs = sorted(wav_db.iterdir())
+    out = tmp_path / "bnmf_demo.wav"
+    rc = cli_main(["demo", str(wavs[0]), "--mode", "bnmf",
+                   "--bnmf-speech", str(wavs[1]), "-o", str(out),
+                   "--block", "4", "--dtype", "float64"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["mode"] == "bnmf" and report["hops"] > 0
+    y, fs = read_wav_int16(out)
+    assert fs == FS and len(y) > 0
+    with pytest.raises(SystemExit):
+        cli_main(["demo", str(wavs[0]), "--mode", "bnmf"])
+
+
+@pytest.mark.slow
 def test_cli_demo_live_pcm_stream(wav_db, tmp_path, capsys):
     """Live capture path (dsp_record.m role): demo '-' consumes raw int16
     PCM from stdin hop by hop and --pcm-out streams enhanced PCM to stdout;
