@@ -12,8 +12,11 @@ cheap elementwise gain recurrences — so this plan:
      513x200 GEMVs become (200,513)@(513,T*B) MXU GEMMs with per-column
      early stopping, numerically identical to the sequential solves;
   3. reconstructions as two big GEMMs;
-  4. a light lax.scan carrying only (lambda_dav, xm_tilde, r_blk) for the
-     block-sparsity statistic and MMSE gain (engine :213-260 math);
+  4. the block-sparsity statistic Q for ALL frames in one banded-GEMM
+     batch (blk_sparse.make_block_sparsity_q_block — causal windows, so
+     no frame reads another's result), leaving a light lax.scan that
+     carries only the (lambda_dav, xm_tilde) MMSE-gain recurrences
+     (engine :213-260 math);
   5. batched iSTFT + OLA.
 
 Semi-supervised configs (basis_update_n/e) keep per-frame W co-updates that
@@ -32,7 +35,7 @@ import jax.numpy as jnp
 from se_snmf_nat_tpu.config import PipelineConfig
 from se_snmf_nat_tpu.dsp.mel import mel_matrix
 from se_snmf_nat_tpu.dsp.stft import analysis_frames, overlap_add, synthesis_frames
-from se_snmf_nat_tpu.enhance.blk_sparse import block_sparsity_q
+from se_snmf_nat_tpu.enhance.blk_sparse import make_block_sparsity_q_block
 from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_h_solve_columns
 from se_snmf_nat_tpu.utils.matlab_compat import matlab_v4_rand_matrix
 
@@ -72,9 +75,6 @@ def make_fast_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         beta=cfg.nmf.beta, sparsity=float(cfg.nmf.sparsity),
         max_iter=cfg.nmf.max_iter, conv_eps=cfg.nmf.conv_eps, flr=1e-9,
         precision=cfg.runtime.matmul_precision)
-    blk_kwargs = dict(n_bins=s.n_bins, p_len_k=blk.p_len_k,
-                      p_len_l=blk.p_len_l, dc_bin=s.dc_bin, gap=blk.blk_gap,
-                      alpha_p=blk.alpha_p, nonzerofloor=flr)
 
     @jax.jit
     def run(frames, win_arr):
@@ -110,14 +110,26 @@ def make_fast_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         a_x_mag = jnp.sum(a[:r_x], axis=0) / r_x
         ls = jnp.arange(1, t + 1, dtype=jnp.int32)
 
+        # Q for the WHOLE utterance in one banded-GEMM batch (no
+        # adaptation here, so no frame feeds back into any other frame's
+        # statistic — see enhance/blk_sparse.make_block_sparsity_q_block);
+        # the gain scan then carries only the two (F,) recurrences
+        if blk.enabled:
+            q_fn = make_block_sparsity_q_block(
+                t, n_bins=s.n_bins, p_len_k=blk.p_len_k,
+                p_len_l=blk.p_len_l, dc_bin=s.dc_bin, gap=blk.blk_gap,
+                alpha_p=blk.alpha_p)
+            snr_all = xm / jnp.maximum(dm, flr)
+            snr_all = snr_all / jnp.max(snr_all, axis=1, keepdims=True)
+            q_all, _ = q_fn(snr_all, jnp.zeros((s.n_bins, blk.p_len_l),
+                                               dtype), ls,
+                            jnp.asarray(t, jnp.int32))
+        else:
+            q_all = jnp.ones_like(mag)
+
         def step(carry, xs):
-            lambda_dav, xm_tilde_prev, r_blk_c = carry
-            ym, xm_hat, dm_hat, ymd, ad_mag, ax_mag, l = xs
-            if blk.enabled:
-                q, r_blk_c = block_sparsity_q(xm_hat, dm_hat, r_blk_c, l,
-                                              **blk_kwargs)
-            else:
-                q = jnp.ones_like(ym)
+            lambda_dav, xm_tilde_prev = carry
+            ym, xm_hat, dm_hat, ymd, ad_mag, ax_mag, l, q = xs
             lambda_dav = jnp.where(l == 1, ymd, lambda_dav)
             beta = 20.0 * jnp.log10(ad_mag / ax_mag) * en.beta
             beta = jnp.clip(beta, en.beta, en.beta_max)
@@ -135,13 +147,12 @@ def make_fast_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             in_init = l <= ad.init_n_len
             gain = jnp.where(in_init, jnp.full_like(gain, flr), gain)
             xm_tilde = gain * ym
-            return (lambda_dav, xm_tilde, r_blk_c), xm_tilde
+            return (lambda_dav, xm_tilde), xm_tilde
 
         state0 = (jnp.zeros((s.n_bins,), dtype),
-                  jnp.zeros((s.n_bins,), dtype),
-                  jnp.zeros((s.n_bins, blk.p_len_l), dtype))
+                  jnp.zeros((s.n_bins,), dtype))
         _, xm_tilde = jax.lax.scan(
-            step, state0, (mag, xm, dm, ym_dft, a_d_mag, a_x_mag, ls))
+            step, state0, (mag, xm, dm, ym_dft, a_d_mag, a_x_mag, ls, q_all))
         out_frames = synthesis_frames(
             xm_tilde, phase, s.framelength, s.fftlength, win_arr, s.pow,
             s.dc_bin_back, s.overlapscale, s.preemph)
