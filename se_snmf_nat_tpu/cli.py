@@ -453,6 +453,68 @@ def cmd_eval(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    if args.quality:
+        # quality battery over the bundled reference fixtures: every
+        # algorithm family on both noisy wavs, with golden-output
+        # agreement for the SNMF plans (the reference's only reproducible
+        # end-to-end check) and level/spectral stats for the baselines
+        import jax.numpy as jnp
+        from se_snmf_nat_tpu.config import default_config
+        from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
+        from se_snmf_nat_tpu.io.wavio import read_wav_int16
+        from se_snmf_nat_tpu.metrics import log_spectral_distance
+
+        fixtures = [
+            ("M03", "/root/reference/wav/M03_423C0213_STR.CH6.wav",
+             "/root/reference/wav/M03_423C0213_STR.CH6_out_v3.9_18.wav"),
+            ("LM", "/root/reference/wav/LM_in.wav",
+             "/root/reference/wav/LM_in_out_v3.9_18.wav"),
+        ]
+        cfg = default_config()
+        speech, noise = load_reference_speech_noise(cfg.sep.r_d)
+
+        def snmf_variant(block_adapt=0, adapt=True):
+            from dataclasses import replace
+            from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+            c = cfg if adapt else cfg.evolve(
+                adapt=replace(cfg.adapt, adapt_train_n=False))
+            return SnmfEnhancer(c, speech.b_dft, noise.b_dft, speech.b_dft,
+                                noise.b_dft, dtype=jnp.float32,
+                                block_adapt=block_adapt)
+
+        def build_enhancers():
+            from se_snmf_nat_tpu.enhance.imcra import OmlsaEnhancer
+            from se_snmf_nat_tpu.enhance.ms import MmseEnhancer
+            yield "snmf_block32", snmf_variant(block_adapt=32), True
+            yield "snmf_block16", snmf_variant(block_adapt=16), True
+            yield "snmf_fixed_fast", snmf_variant(adapt=False), False
+            yield "imcra", OmlsaEnhancer(dtype=jnp.float32), False
+            yield "ms", MmseEnhancer(cfg.signal.fs, dtype=jnp.float32), False
+
+        report = {}
+        for fix_name, in_path, gold_path in fixtures:
+            x, fs = read_wav_int16(in_path)
+            gold, _ = read_wav_int16(gold_path)
+            rms_in = float(np.sqrt((x.astype(float) ** 2).mean()))
+            rows = {}
+            for name, enh, vs_golden in build_enhancers():
+                y = enh.enhance(x)
+                yf = y.astype(np.float64)
+                row = {"rms_in": round(rms_in, 1),
+                       "rms_out": round(float(np.sqrt((yf ** 2).mean())), 1)}
+                if vs_golden:
+                    n = min(len(yf), len(gold))
+                    g = gold[:n].astype(np.float64)
+                    row["corr_vs_golden"] = round(
+                        float(np.corrcoef(yf[:n], g)[0, 1]), 4)
+                    row["mean_abs_lsb_vs_golden"] = round(
+                        float(np.abs(yf[:n] - g).mean()), 1)
+                    row["lsd_db_vs_golden"] = round(
+                        log_spectral_distance(g, yf[:n], fs), 2)
+                rows[name] = row
+            report[fix_name] = rows
+        print(json.dumps(report))
+        return 0
     if args.trace:
         # jax.profiler trace of one full block-adaptive batch call
         # (SURVEY §5 'Tracing / profiling'): open args.trace with
@@ -669,6 +731,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of one enhancement "
                         "call into this directory (view with "
                         "TensorBoard/XProf)")
+    b.add_argument("--quality", action="store_true",
+                   help="run the quality battery over the bundled "
+                        "reference fixtures (every algorithm family; "
+                        "golden agreement for the SNMF plans)")
     b.set_defaults(fn=cmd_bench)
     return p
 
