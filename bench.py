@@ -101,13 +101,27 @@ def main() -> None:
                         flr=1e-9, precision=cfg.runtime.matmul_precision)
     h0 = jnp.full((r, v.shape[1]), 0.5, jnp.float32)
 
+    # chained timing: each solve's OUTPUT (renormalized into the h0 range)
+    # seeds the next solve's input, and a scalar fetch closes the chain —
+    # repeated identical dispatches of device programs get deduped/served
+    # from cache somewhere in the tunnel path and read ~0 ms (see
+    # CLAUDE.md "tunnel timing traps"), so unchained reps overstate the
+    # kernel rate (~28% at this shape)
+    def _chain(h):
+        return 0.3 + 0.4 * h / (jnp.mean(h) + 1e-6)
+
     res = snmf_h_solve_columns(v, w_sep, h0, params)    # compile + warmup
     jax.block_until_ready(res.h)
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        res = snmf_h_solve_columns(v, w_sep, h0, params)
-    jax.block_until_ready(res.h)
-    mu_elapsed = (time.perf_counter() - t0) / n_rep
+    windows = []
+    for _ in range(3):
+        h = h0
+        t0 = time.perf_counter()
+        for _ in range(6):
+            h = _chain(snmf_h_solve_columns(v, w_sep, h, params).h)
+        float(jnp.sum(h))
+        windows.append((time.perf_counter() - t0) / 6)
+    mu_elapsed = min(windows)
+    res = snmf_h_solve_columns(v, w_sep, h0, params)
 
     n_loop_iters = int(res.iters)                       # while_loop trips
     n_cols = v.shape[1]

@@ -155,6 +155,125 @@ def _h_solve_kernel(v_ref, w_ref, h0_ref, out_ref, *, max_iter: int,
     out_ref[0] = h
 
 
+# ---------------------------------------------------------------------------
+# Shared-dictionary per-COLUMN solve: the fast plan's one big batched
+# H-solve (stream/fast_pipeline.py) and the kernel-bench shape.
+#
+# MEASURED NEGATIVE RESULT (v5e, F=513 r=200 N=22208, chained timing):
+# 19.4-21.5 ms/solve (tile_n=1024/512) vs 16.6 ms for the XLA
+# snmf_h_solve_columns — the VMEM-residency win does not materialize
+# because XLA's loop fusion already keeps the iteration working set
+# on-chip at these shapes, and per-tile early exit cannot make up the
+# Mosaic loop's lower MXU/VPU overlap.  Kept as a validated option
+# (interpret-mode semantics gate in tests); the XLA solver remains the
+# production path.
+# ---------------------------------------------------------------------------
+
+def _h_cols_kernel(v_ref, w_ref, h0_ref, out_ref, *, max_iter: int,
+                   conv_eps: float, sparsity: float, flr: float,
+                   bf16_mxu: bool):
+    """One column tile, whole MU loop in VMEM with per-column convergence
+    (the exact semantics of nmf/solver.snmf_h_solve_columns: every column
+    freezes at its OWN relative-cost criterion, reproducing the
+    reference's independent per-frame solves, sparse_nmf.m:186-285 at
+    m=1).  The XLA path re-materializes H/Lambda/cost through HBM every
+    iteration; here V, W, H and all temporaries stay resident, so the
+    loop is MXU/VPU-bound instead of HBM-bound."""
+    v = jnp.maximum(v_ref[:], flr)            # (F, TN)
+    w = w_ref[:]                              # (F, R)
+    h = h0_ref[:]                             # (R, TN)
+
+    wn = jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))
+    w = w / jnp.where(wn > 0.0, wn, 1.0)
+    h = h * wn.T
+    dph = jnp.maximum(jnp.sum(w, axis=0)[:, None] + sparsity, flr)
+
+    def dot(a, b):
+        if bf16_mxu:   # mirror the XLA DEFAULT-precision path (bf16 MXU
+            a = a.astype(jnp.bfloat16)        # inputs, f32 accumulation)
+            b = b.astype(jnp.bfloat16)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def col_cost(lamb, h):
+        div = jnp.sum(v * jnp.log(v / lamb) - v + lamb, axis=0,
+                      keepdims=True)
+        return div + sparsity * jnp.sum(h, axis=0, keepdims=True)
+
+    # Mosaic's while lowering wants 2-D f32 loop carries — the per-column
+    # active mask rides as a 0/1 float row vector
+    def mu(carry):
+        it, h, lamb, last_cost, active = carry
+        dmh = dot(w.T, v / lamb)
+        h_new = h * dmh / dph
+        h = jnp.where(active > 0.5, h_new, h)
+        lamb = jnp.maximum(dot(w, h), flr)
+        cost = col_cost(lamb, h)
+        rel = jnp.abs(cost - last_cost) / jnp.abs(last_cost)
+        if conv_eps > 0:
+            keep = jnp.where(
+                jnp.logical_and(it > 0, rel < conv_eps), 0.0, 1.0)
+            active = active * keep
+        return it + 1, h, lamb, cost, active
+
+    def cond(carry):
+        it, _, _, _, active = carry
+        return jnp.logical_and(it < max_iter, jnp.max(active) > 0.5)
+
+    n = v.shape[1]
+    lamb0 = jnp.maximum(dot(w, h), flr)
+    _, h, _, _, _ = lax.while_loop(
+        cond, mu, (jnp.asarray(0, jnp.int32), h, lamb0,
+                   jnp.full((1, n), jnp.inf, jnp.float32),
+                   jnp.ones((1, n), jnp.float32)))
+    out_ref[:] = h
+
+
+@partial(jax.jit, static_argnames=("max_iter", "conv_eps", "sparsity",
+                                   "flr", "tile_n", "bf16_mxu", "interpret"))
+def pallas_h_solve_columns(v: jnp.ndarray, w: jnp.ndarray, h0: jnp.ndarray,
+                           max_iter: int = 100, conv_eps: float = 1e-3,
+                           sparsity: float = 5.0, flr: float = 1e-9,
+                           tile_n: int = 512, bf16_mxu: bool = True,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Shared-W per-column KL H-solve.  v: (F, N); w: (F, R); h0: (R, N).
+
+    Grid over N/tile_n column tiles; W maps to the SAME VMEM block for
+    every program.  Column tiles early-exit independently (columns are
+    independent problems, so tiling changes nothing but wall time).  The
+    wrapper pads N to a tile multiple with benign columns (v=1, h0=h0[:,0])
+    and slices them off — padding can only add iterations to its own tile.
+    """
+    f, n = v.shape
+    r = w.shape[1]
+    n_pad = -(-n // tile_n) * tile_n
+    if n_pad != n:
+        v = jnp.concatenate(
+            [v, jnp.ones((f, n_pad - n), v.dtype)], axis=1)
+        h0 = jnp.concatenate(
+            [h0, jnp.broadcast_to(h0[:, :1], (r, n_pad - n))], axis=1)
+    kern = partial(_h_cols_kernel, max_iter=max_iter, conv_eps=conv_eps,
+                   sparsity=sparsity, flr=flr, bf16_mxu=bf16_mxu)
+    h = pl.pallas_call(
+        kern,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((f, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, r), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, tile_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(v.astype(jnp.float32), w.astype(jnp.float32), h0.astype(jnp.float32))
+    return h[:, :n]
+
+
 @partial(jax.jit, static_argnames=("max_iter", "conv_eps", "sparsity",
                                    "flr", "interpret"))
 def pallas_h_solve(v: jnp.ndarray, w: jnp.ndarray, h0: jnp.ndarray,
