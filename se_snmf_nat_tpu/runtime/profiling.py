@@ -147,11 +147,17 @@ def measure_hop_latency(enh, x: "np.ndarray", n_rep: int = 3,
     frames = jnp.asarray(enh._pad_frames(true_frames), enh.dtype)
     t_valid = jnp.asarray(t_true, jnp.int32)
 
-    y, _ = enh._run_masked(frames, enh.initial_state(), t_valid)  # warm
+    # distinct inputs per rep: repeated identical dispatches get deduped
+    # in the tunneled device path and read ~0 ms (CLAUDE.md "tunnel
+    # timing traps"), which would overstate device speed
+    rng = np.random.default_rng(0)
+    variants = [frames * jnp.asarray(1.0 + 1e-4 * rng.standard_normal(),
+                                     enh.dtype) for _ in range(n_rep + 1)]
+    y, _ = enh._run_masked(variants[-1], enh.initial_state(), t_valid)  # warm
     jax.block_until_ready(y)
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        y, _ = enh._run_masked(frames, enh.initial_state(), t_valid)
+    for i in range(n_rep):
+        y, _ = enh._run_masked(variants[i], enh.initial_state(), t_valid)
     jax.block_until_ready(y)
     # divide by EXECUTED steps: bucket-padding frames run the same masked
     # per-step compute, so per-hop cost is elapsed / padded count
