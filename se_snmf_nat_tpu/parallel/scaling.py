@@ -44,11 +44,17 @@ def measure_dp_scaling(enhancer, x: np.ndarray, fs: int, *,
             lambda a: jax.device_put(a, data_sharding(mesh, a.ndim, 0)),
             states)
         t_valid = jnp.full((b,), t, jnp.int32)
-        ys, _ = enhancer._run_batch_masked(batch, states, t_valid)
+        # distinct inputs per rep (identical repeated dispatches get
+        # deduped in the tunneled device path — CLAUDE.md timing traps)
+        rng = np.random.default_rng(k)
+        variants = [batch * jnp.asarray(1.0 + 1e-4 * rng.standard_normal(),
+                                        enhancer.dtype)
+                    for _ in range(n_rep + 1)]
+        ys, _ = enhancer._run_batch_masked(variants[-1], states, t_valid)
         jax.block_until_ready(ys)
         t0 = time.perf_counter()
-        for _ in range(n_rep):
-            ys, _ = enhancer._run_batch_masked(batch, states, t_valid)
+        for i in range(n_rep):
+            ys, _ = enhancer._run_batch_masked(variants[i], states, t_valid)
         jax.block_until_ready(ys)
         el = (time.perf_counter() - t0) / n_rep
         results[k] = {"audio_s_per_s": round(b * audio_s / el, 1),
