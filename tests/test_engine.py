@@ -339,3 +339,35 @@ def test_block_adaptive_padding_inert(reference_bases, short_clip):
         np.testing.assert_array_equal(np.asarray(getattr(sta, f)),
                                       np.asarray(getattr(stb, f)),
                                       err_msg=f)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", [
+    "snmf_nat", "proposed_is16", "proposed_is16_obj", "snmf",
+    "semisupervised", "exemplar", "techwin_rt", "snmf_techwin_rt"])
+def test_every_preset_enhances(reference_bases, short_clip, name):
+    """E2E smoke across ALL named presets (each mirrors one reference
+    settings/*.m file): plan auto-selection, rank tiling, and the full
+    enhance path must work for every configuration a reference user could
+    select.  (The 'imcra' preset routes to OmlsaEnhancer — covered by
+    test_imcra.)"""
+    from se_snmf_nat_tpu.config import preset
+    cfg = preset(name)
+    speech, noise = reference_bases
+    sp = speech.tiled_to_rank(cfg.sep.r_x)
+    no = noise.tiled_to_rank(cfg.sep.r_d)
+    if cfg.sep.b_sep_mode == "Mel":
+        b1_x, b1_d = sp.b_mel, no.b_mel
+    else:
+        b1_x, b1_d = sp.b_dft, no.b_dft
+    enh = SnmfEnhancer(cfg, b1_x[:, : cfg.sep.r_x], b1_d[:, : cfg.sep.r_d],
+                       sp.b_dft[:, : cfg.sep.r_x], no.b_dft[:, : cfg.sep.r_d],
+                       dtype=jnp.float64)
+    y = enh.enhance(short_clip)
+    assert y.dtype == np.int16 and len(y) > 0
+    assert np.all(np.isfinite(y.astype(np.float64)))
+    assert np.abs(y.astype(np.int64)).max() > 0
+    # RMS must not blow up past the input (enhancement, not amplification)
+    rms_in = np.sqrt(np.mean(short_clip[: len(y)].astype(np.float64) ** 2))
+    rms_out = np.sqrt(np.mean(y.astype(np.float64) ** 2))
+    assert rms_out < 2.0 * rms_in
