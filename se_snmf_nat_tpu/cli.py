@@ -453,6 +453,89 @@ def cmd_eval(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    if args.train_rate:
+        # basis-training inner stack throughput (SURVEY §3.4): one full
+        # W+H SNMF training solve at the reference's training shape
+        # (513 x T spectrogram, rank r, ≤train_max_iter MU iterations),
+        # reported as wall time + MU iterations/s.  Distinct-input reps
+        # guard the tunnel's dispatch dedupe (CLAUDE.md timing traps).
+        import time as _time
+        import jax
+        import jax.numpy as jnp
+        from se_snmf_nat_tpu.config import default_config
+        from se_snmf_nat_tpu.io.wavio import read_wav_int16
+        from se_snmf_nat_tpu.train.dataset import build_training_sequence
+        from se_snmf_nat_tpu.train.features import training_features
+        from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_solve
+        import tempfile, shutil, pathlib, wave
+        cfg = default_config()
+        x, fs = read_wav_int16(
+            "/root/reference/wav/M03_423C0213_STR.CH6.wav")
+        tmp = pathlib.Path(tempfile.mkdtemp(prefix="trainbench_"))
+        try:
+            from se_snmf_nat_tpu.io.wavio import write_wav_int16
+            # a campaign-scale training DB (~1 min of audio, 8 files) so
+            # the solve sees a realistic T (thousands of frames)
+            rng0 = np.random.default_rng(1)
+            for i in range(8):
+                jitter = np.clip(np.asarray(x, np.float64)
+                                 * (1.0 + 0.01 * rng0.standard_normal()),
+                                 -32768, 32767)
+                write_wav_int16(tmp / f"c{i}.wav",
+                                jitter.astype(np.int16), fs)
+            seq, _ = build_training_sequence(tmp, cfg)
+            feats = training_features(seq, cfg, dc_bin=cfg.signal.dc_bin)
+            v = jnp.asarray(feats.tf_mag, jnp.float32)
+            r = min(100, v.shape[1] - 1)
+            rng = np.random.default_rng(0)
+            params = SnmfParams(
+                beta=cfg.nmf.beta, sparsity=float(cfg.nmf.sparsity),
+                max_iter=cfg.nmf.max_iter,
+                conv_eps=cfg.nmf.conv_eps, flr=1e-9,
+                precision=cfg.runtime.matmul_precision)
+            mask = jnp.ones((r,), bool)
+
+            def solve(w0, h0):
+                return snmf_solve(v, w0, h0, mask, mask, params,
+                                  update_w=True, update_h=True)
+
+            def inits():
+                w0 = jnp.asarray(np.abs(rng.standard_normal(
+                    (v.shape[0], r))) + 1e-3, jnp.float32)
+                h0 = jnp.asarray(np.abs(rng.standard_normal(
+                    (r, v.shape[1]))) + 1e-3, jnp.float32)
+                return w0, h0
+            res = solve(*inits())
+            float(jnp.sum(res.w))              # compile + real completion
+            laps, iters = [], []
+            for _ in range(3):
+                w0, h0 = inits()
+                jax.block_until_ready((w0, h0))
+                t0 = _time.perf_counter()
+                res = solve(w0, h0)
+                # scalar fetch forces true completion (block_until_ready
+                # may not round-trip on this tunnel — CLAUDE.md traps)
+                float(jnp.sum(res.w))
+                laps.append(_time.perf_counter() - t0)
+                iters.append(int(res.iters))
+            el = min(laps)
+            it = iters[laps.index(el)]
+            f_bins, t_cols = v.shape
+            # FLOPs per full MU iteration: H update (2 GEMM-class
+            # contractions) + W update (2) + two Lambda rebuilds
+            flops_per_iter = 6 * (2.0 * f_bins * r * t_cols)
+            print(json.dumps({
+                "train_shape": f"F={f_bins} T={t_cols} r={r}",
+                "solve_wall_s": round(el, 4),
+                "mu_iters": it,
+                "train_mu_iters_per_s": round(it / el, 1),
+                "train_gemm_tflops": round(it * flops_per_iter / el / 1e12,
+                                           2),
+                "audio_seconds_trained": round(8 * len(x) / fs, 1),
+            }))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return 0
     if args.quality:
         # quality battery over the bundled reference fixtures: every
         # algorithm family on both noisy wavs, with golden-output
@@ -735,6 +818,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the quality battery over the bundled "
                         "reference fixtures (every algorithm family; "
                         "golden agreement for the SNMF plans)")
+    b.add_argument("--train-rate", action="store_true",
+                   help="measure the basis-training inner solve "
+                        "(full W+H SNMF) wall time and MU iterations/s")
     b.set_defaults(fn=cmd_bench)
     return p
 
