@@ -110,24 +110,32 @@ def main() -> None:
     # repeated identical dispatches of device programs get deduped/served
     # from cache somewhere in the tunnel path and read ~0 ms (see
     # CLAUDE.md "tunnel timing traps"), so unchained reps overstate the
-    # kernel rate (~28% at this shape)
+    # kernel rate (~28% at this shape).  Each window starts from a
+    # DIFFERENT h0 so no window replays another's dispatch sequence, and
+    # the kernel-rate measure runs at conv_eps=0 (exactly max_iter loop
+    # trips per call — a deterministic iteration count; the production
+    # early-stop path is what the headline pipeline above exercises).
+    import dataclasses
+
+    params_fixed = dataclasses.replace(params, conv_eps=0.0)
+
     def _chain(h):
         return 0.3 + 0.4 * h / (jnp.mean(h) + 1e-6)
 
-    res = snmf_h_solve_columns(v, w_sep, h0, params)    # compile + warmup
+    h0s = [h0 * jnp.float32(1.0 + 0.05 * k) for k in range(6)]
+    res = snmf_h_solve_columns(v, w_sep, h0s[-1], params_fixed)  # compile
     float(jnp.sum(res.h))
     windows = []
-    for _ in range(5):
-        h = h0
+    for wdx in range(5):
+        h = h0s[wdx]
         t0 = time.perf_counter()
         for _ in range(8):
-            h = _chain(snmf_h_solve_columns(v, w_sep, h, params).h)
+            h = _chain(snmf_h_solve_columns(v, w_sep, h, params_fixed).h)
         float(jnp.sum(h))
         windows.append((time.perf_counter() - t0) / 8)
     mu_elapsed = min(windows)
-    res = snmf_h_solve_columns(v, w_sep, h0, params)
 
-    n_loop_iters = int(res.iters)                       # while_loop trips
+    n_loop_iters = params.max_iter                      # exact at eps=0
     n_cols = v.shape[1]
     # a reference "MU iteration" is one H update of one frame column
     # (sparse_nmf.m:186-285 at m=1); the batched loop updates every column

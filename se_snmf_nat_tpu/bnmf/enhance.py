@@ -59,8 +59,7 @@ import jax
 import jax.numpy as jnp
 
 from se_snmf_nat_tpu.bnmf.vb import (
-    GammaPost, _h_block, _w_block, clamp_min_shape, init_train, vb_h_infer,
-    vb_train)
+    GammaPost, _h_block, clamp_min_shape, init_train, vb_h_infer, vb_train)
 from se_snmf_nat_tpu.io.wavio import enhanced_quantize
 
 _EPS = 2.220446049250313e-16        # MATLAB eps, used in the WADA log
@@ -103,6 +102,15 @@ class BnmfModel(NamedTuple):
     u0: jnp.ndarray                 # (K_s, 1) mean training activation
 
 
+def _safe_std(x: np.ndarray) -> float:
+    """MATLAB-style unit-variance normalizer with a silence guard: a
+    zero-variance stretch (digital silence, muted capture) must not put
+    NaN through the whole pipeline (the wrapper divides unguarded,
+    proc_BNMF_nmoh.m:31,88 — a deliberate robustness deviation)."""
+    s = float(np.sqrt(np.var(np.asarray(x, np.float64), ddof=1)))
+    return s if s > 0.0 and np.isfinite(s) else 1.0
+
+
 def _window(alen: int) -> np.ndarray:
     n = np.arange(alen)
     win = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / alen)    # hann periodic
@@ -133,7 +141,7 @@ def train_speech_model(speech: np.ndarray, p: BnmfParams,
     unit-variance normalize, 5x magnitude spectrogram, R_x components,
     100 iterations).  Returns (BnmfModel, bound_trace)."""
     speech = np.asarray(speech, np.float64)
-    speech = speech / np.sqrt(np.var(speech, ddof=1))   # MATLAB var (:31)
+    speech = speech / _safe_std(speech)                 # MATLAB var (:31)
     spect = spectrogram(speech, p)
     w0, h0, b0w, b0h = init_train(spect, p.k_speech, seed=seed)
     w, h, trace = vb_train(
@@ -149,7 +157,7 @@ def _train_noise_init(mixed: np.ndarray, p: BnmfParams, dtype, seed=1):
     samples (:85-99): unit-variance normalize, spectrogram, K_noise
     components, noise_init_iters, shape clamp."""
     head = np.asarray(mixed[: p.init_hops * p.ulen], np.float64)
-    head = head / np.sqrt(np.var(head, ddof=1))
+    head = head / _safe_std(head)
     nos = spectrogram(head, p)
     w0, h0, b0w, b0h = init_train(nos, p.k_noise, seed=seed)
     w, h, _ = vb_train(
@@ -218,7 +226,7 @@ class BnmfEnhancer:
                 raise ValueError("supervised mode needs a noise signal")
             p = self.p
             noise = np.asarray(noise, np.float64)
-            noise = noise / np.sqrt(np.var(noise, ddof=1))
+            noise = noise / _safe_std(noise)
             spect = spectrogram(noise, p)
             w0, h0, b0w, b0h = init_train(spect, p.k_noise, seed=seed + 1)
             w, h, _ = vb_train(
@@ -382,7 +390,7 @@ class BnmfEnhancer:
         if t == 0:
             return np.zeros(0, np.int16 if quantize else np.float64)
         if self.method == "supervised":
-            sigma = float(np.sqrt(np.var(x, ddof=1))) or 1.0
+            sigma = _safe_std(x)
         else:
             sigma = self.head_sigma(x)
         frames = frames_raw / sigma
@@ -391,13 +399,39 @@ class BnmfEnhancer:
             y_t = self._enhance_supervised(frames)
         else:
             carry = self.init_online_carry(x)
+            # frame counts round up to a bucket with masked padding so a
+            # directory of mixed-length files compiles one scan per BUCKET
+            # (the repo's frame_bucket convention; CLAUDE.md), not per
+            # length — padding frames freeze the carry and emit zeros
+            bucket = 128
+            t_pad = -(-t // bucket) * bucket
+            frames_p = np.concatenate(
+                [frames, np.zeros((t_pad - t, p.alen))]) \
+                if t_pad != t else frames
             if self._scan is None:
-                self._scan = jax.jit(
-                    lambda c, xs: jax.lax.scan(self._build_scan(), c, xs))
-            xs = (jnp.asarray(frames, dt),
-                  jnp.arange(1, t + 1, dtype=jnp.int32))
-            _, y_t = self._scan(carry, xs)
-            y_t = np.asarray(y_t, np.float64)
+                step = self._build_scan()
+
+                @jax.jit
+                def run(carry, frames, n_valid):
+                    idx = jnp.arange(frames.shape[0], dtype=jnp.int32)
+
+                    def masked(c, xs):
+                        frame, l, i = xs
+                        new_c, out = step(c, (frame, l))
+                        ok = i < n_valid
+                        c_out = jax.tree.map(
+                            lambda a, b: jnp.where(ok, a, b), new_c, c)
+                        return c_out, jnp.where(ok, out,
+                                                jnp.zeros_like(out))
+
+                    return jax.lax.scan(
+                        masked, carry,
+                        (frames, 1 + idx, idx))
+
+                self._scan = run
+            _, y_t = self._scan(carry, jnp.asarray(frames_p, dt),
+                                jnp.asarray(t, jnp.int32))
+            y_t = np.asarray(y_t, np.float64)[:t]
         out = self._ola(y_t) * sigma
         return enhanced_quantize(out) if quantize else out
 
@@ -428,7 +462,7 @@ class BnmfEnhancer:
         enhance() scale-coherence note)."""
         head = np.asarray(x_head, np.float64)[: self.p.init_hops
                                               * self.p.ulen]
-        return float(np.sqrt(np.var(head, ddof=1))) or 1.0
+        return _safe_std(head)
 
     def _enhance_supervised(self, frames: np.ndarray) -> np.ndarray:
         """All frames in one batched VB solve — the offline MXU plan."""

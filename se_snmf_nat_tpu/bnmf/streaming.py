@@ -49,6 +49,7 @@ class BnmfStreamingSession:
         self._l = 0                           # frames processed so far
         self._acc = np.zeros(p.alen)          # OLA accumulator
         self._run = None
+        self._finished = False
 
     # ------------------------------------------------------------------
     def _build_run(self):
@@ -118,6 +119,9 @@ class BnmfStreamingSession:
         """Feed int16-scale samples; returns finalized output samples
         available so far (empty until the init head has arrived)."""
         from se_snmf_nat_tpu.io.wavio import enhanced_quantize
+        if self._finished:
+            raise RuntimeError("session already flushed; create a new "
+                               "BnmfStreamingSession to process more audio")
         p = self._p
         samples = np.asarray(samples, np.float64).reshape(-1)
         need = p.init_hops * p.ulen
@@ -139,14 +143,17 @@ class BnmfStreamingSession:
 
     def flush(self, quantize: bool = True) -> np.ndarray:
         """EOF: process the partial tail block and emit the final OLA hop
-        (the offline pipeline's (T+1)-th hop, proc_BNMF_nmoh.m:131-135)."""
+        (the offline pipeline's (T+1)-th hop, proc_BNMF_nmoh.m:131-135).
+        Idempotent: the session is finished afterwards — a second flush
+        returns empty and further pushes raise."""
         from se_snmf_nat_tpu.io.wavio import enhanced_quantize
         p = self._p
         outs = []
-        if self._carry is not None:
+        if self._carry is not None and not self._finished:
             outs.extend(self._flush_pending())    # partial block, masked
             outs.append(self._acc[: p.ulen] * self._sigma)
             self._acc = np.concatenate(
                 [self._acc[p.ulen:], np.zeros(p.ulen)])
+        self._finished = True
         y = np.concatenate(outs) if outs else np.zeros(0)
         return enhanced_quantize(y) if quantize else y

@@ -4,9 +4,11 @@
 Plain Python loops over frames and VB iterations, no JAX: gates that the
 TPU pipeline's restructuring (lax.scan frame loop, lax.cond refit gate,
 fixed-shape ring buffers, masked buffer statistics) is semantically a
-no-op.  The elementary VB block updates are shared with bnmf/vb.py via
-their ``xp`` parameter — what this oracle independently re-implements is
-the orchestration, which is exactly what the scan restructure changes.
+no-op.  The VB block-update equations are deliberately re-implemented
+here in plain NumPy (only the backend-generic ``digamma`` is shared) so
+the oracle is an independent statement of the math as well as of the
+orchestration; a change to either copy that the other doesn't mirror
+fails the x64 parity gates.
 
 Reference: /root/reference/proc_BNMF_nmoh.m (wrapper semantics; the inner
 @NMF class is absent from the reference repo — see bnmf/enhance.py's
@@ -18,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from se_snmf_nat_tpu.bnmf.enhance import (
-    _EPS, _WADA_POLY, BnmfParams, _frame, _window)
+    _EPS, _WADA_POLY, BnmfParams, _frame, _safe_std, _window)
 from se_snmf_nat_tpu.bnmf.vb import GammaPost, init_train
 from se_snmf_nat_tpu.utils.special import digamma
 
@@ -68,7 +70,7 @@ def _clamp_min_shape(a, s, min_shape):
 
 def train_speech_model_np(speech, p: BnmfParams, seed=0):
     speech = np.asarray(speech, np.float64)
-    speech = speech / np.sqrt(np.var(speech, ddof=1))
+    speech = speech / _safe_std(speech)
     spect = spectrogram_np(speech, p)
     w0, h0, b0w, b0h = init_train(spect, p.k_speech, seed=seed)
     w, h = vb_train_np(spect, w0, h0, b0w, b0h, n_iter=p.train_iters)
@@ -86,14 +88,14 @@ def enhance_np(x, w_s: GammaPost, u_s0, p: BnmfParams,
     if t == 0:
         return np.zeros(0)
     head = x[: p.init_hops * p.ulen]
-    sigma = float(np.sqrt(np.var(head, ddof=1))) or 1.0
+    sigma = _safe_std(head)
     frames = frames_raw / sigma
     win = _window(p.alen)
     norm_coef = float(np.sqrt(np.sum(
         (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(p.alen) / p.alen)) ** 2)))
 
     # ---- noise init (mirror of _train_noise_init)
-    headn = head / np.sqrt(np.var(head, ddof=1))
+    headn = head / _safe_std(head)
     nos = spectrogram_np(headn, p)
     w0, h0, b0w, b0h = init_train(nos, p.k_noise, seed=seed_noise)
     wn, hn = vb_train_np(nos, w0, h0, b0w, b0h, n_iter=p.noise_init_iters)

@@ -104,14 +104,21 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         max_iter=cfg.nmf.max_iter, conv_eps=cfg.nmf.conv_eps, flr=1e-9,
         precision=cfg.runtime.matmul_precision)
     m_a = ad.m_a
+    # gap >= 3 (the reference default): Q leaves the scan as banded GEMMs;
+    # gap < 3 makes Q a true recurrence over centers, so it stays
+    # per-frame in the scan (enhance/blk_sparse.py module docstring)
+    q_sequential = blk.enabled and blk.blk_gap < 3
     q_block_fn = None
-    if blk.enabled:
+    if blk.enabled and not q_sequential:
         from se_snmf_nat_tpu.enhance.blk_sparse import (
             make_block_sparsity_q_block)
         q_block_fn = make_block_sparsity_q_block(
             k_block, n_bins=s.n_bins, p_len_k=blk.p_len_k,
             p_len_l=blk.p_len_l, dc_bin=s.dc_bin, gap=blk.blk_gap,
             alpha_p=blk.alpha_p)
+    blk_kwargs = dict(n_bins=s.n_bins, p_len_k=blk.p_len_k,
+                      p_len_l=blk.p_len_l, dc_bin=s.dc_bin, gap=blk.blk_gap,
+                      alpha_p=blk.alpha_p, nonzerofloor=flr)
 
     def block_step(carry, xs):
         state, ring_ptr = carry
@@ -147,25 +154,37 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             ym_dft_blk = mag_blk
 
         # whole-block Q: no frame in the block depends on another frame's
-        # Q, so the windowed statistics leave the sequential scan and run
-        # as banded-matrix GEMMs once per block (blk_sparse.py); the
-        # local-SNR ring updates once per block in shift layout
-        if blk.enabled:
+        # Q (gap >= 3), so the windowed statistics leave the sequential
+        # scan and run as banded-matrix GEMMs once per block
+        # (blk_sparse.py); the local-SNR ring updates once per block in
+        # shift layout.  gap < 3 computes Q per frame inside the scan.
+        if blk.enabled and not q_sequential:
             snr_blk = xm / jnp.maximum(dm, flr)              # (K, F)
             snr_blk = snr_blk / jnp.max(snr_blk, axis=1, keepdims=True)
             n_valid_blk = jnp.sum(ok_blk, dtype=jnp.int32)
-            q_blk, r_blk_new = q_block_fn(snr_blk, state.r_blk, ls,
-                                          n_valid_blk)
+            q_blk, r_blk_batched = q_block_fn(snr_blk, state.r_blk, ls,
+                                              n_valid_blk)
         else:
             q_blk = jnp.ones_like(mag_blk)
-            r_blk_new = state.r_blk
+            r_blk_batched = state.r_blk
         qc_blk = (1.0 - jnp.mean(q_blk, axis=1)) * ad.ar_up  # (K,)
 
         def frame_step(carry, fxs):
-            (lambda_dav_c, xm_tilde_prev,
-             switch, any_refit, qctl_last, ax_last) = carry
+            if q_sequential:
+                (lambda_dav_c, xm_tilde_prev, r_blk_prev,
+                 switch, any_refit, qctl_last, ax_last) = carry
+            else:
+                (lambda_dav_c, xm_tilde_prev,
+                 switch, any_refit, qctl_last, ax_last) = carry
+                r_blk_prev = r_blk_c = None
             (ym, ym_dft, xm_hat, dm_hat, a_col, ad_mag, ax_mag, l, ok,
              q, q_control) = fxs
+            if q_sequential:
+                from se_snmf_nat_tpu.enhance.blk_sparse import (
+                    block_sparsity_q)
+                q, r_blk_c = block_sparsity_q(xm_hat, dm_hat, r_blk_prev,
+                                              l, **blk_kwargs)
+                q_control = (1.0 - jnp.mean(q)) * ad.ar_up
             lambda_dav = jnp.where(l == 1, ym_dft, lambda_dav_c)
             beta = jnp.clip(20.0 * jnp.log10(ad_mag / ax_mag) * en.beta,
                             en.beta, en.beta_max)
@@ -206,21 +225,30 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             out = jnp.where(ok, xm_tilde, jnp.zeros_like(xm_tilde))
             # bucket-padding frames must not touch the carried state
             new_carry = (jnp.where(ok, lambda_dav, lambda_dav_c),
-                         jnp.where(ok, xm_tilde, xm_tilde_prev),
-                         jnp.where(ok, switch_new, switch),
-                         any_refit | do_solve, qctl_last, ax_last)
+                         jnp.where(ok, xm_tilde, xm_tilde_prev))
+            if q_sequential:
+                new_carry += (jnp.where(ok, r_blk_c, r_blk_prev),)
+            new_carry += (jnp.where(ok, switch_new, switch),
+                          any_refit | do_solve, qctl_last, ax_last)
             return new_carry, (out, d_ref, trig)
 
-        carry0 = (state.lambda_dav, state.xm_tilde,
-                  state.update_switch,
-                  jnp.asarray(False), jnp.asarray(0.0, dtype),
-                  jnp.asarray(float(flr), dtype))
-        (lambda_dav, xm_tilde_last, switch_out,
-         any_trig, q_control, a_x_last), (xm_tilde_seq, d_ref_seq, trig_seq) \
-            = jax.lax.scan(
-                frame_step, carry0,
-                (mag_blk, ym_dft_blk, xm, dm, a.T, a_d_mag, a_x_mag, ls,
-                 ok_blk, q_blk, qc_blk))
+        carry0 = (state.lambda_dav, state.xm_tilde)
+        if q_sequential:
+            carry0 += (state.r_blk,)
+        carry0 += (state.update_switch,
+                   jnp.asarray(False), jnp.asarray(0.0, dtype),
+                   jnp.asarray(float(flr), dtype))
+        carry_out, (xm_tilde_seq, d_ref_seq, trig_seq) = jax.lax.scan(
+            frame_step, carry0,
+            (mag_blk, ym_dft_blk, xm, dm, a.T, a_d_mag, a_x_mag, ls,
+             ok_blk, q_blk, qc_blk))
+        if q_sequential:
+            (lambda_dav, xm_tilde_last, r_blk_new, switch_out,
+             any_trig, q_control, a_x_last) = carry_out
+        else:
+            (lambda_dav, xm_tilde_last, switch_out,
+             any_trig, q_control, a_x_last) = carry_out
+            r_blk_new = r_blk_batched
 
         # bulk circular-ring push: the j-th triggered frame of the block
         # lands in slot (ptr + j) % m_a — the same chronological slot the
@@ -230,14 +258,20 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         # whose HBM traffic dominated the frame scan
         rank = jnp.cumsum(trig_seq.astype(jnp.int32),
                           dtype=jnp.int32) - jnp.asarray(1, jnp.int32)
-        pos = jnp.where(trig_seq, (ring_ptr + rank) % m_a,
+        n_trig = jnp.sum(trig_seq, dtype=jnp.int32)
+        # with more than m_a triggers in one block (possible when
+        # k_block > adapt.m_a, e.g. the snmf_techwin_rt preset's m_a=16),
+        # slots would wrap and collide; only the NEWEST m_a pushes survive
+        # a shift ring, so older ones drop too (keeps scatter targets
+        # unique and the chronological roll below exact)
+        keep = jnp.logical_and(trig_seq, rank >= n_trig - m_a)
+        pos = jnp.where(keep, (ring_ptr + rank) % m_a,
                         jnp.asarray(m_a, jnp.int32))
         lam_blk = state.lambda_d_blk.at[:, pos].set(
             d_ref_seq.T, mode="drop", unique_indices=False)
         ad_blk = state.ad_blk.at[:, pos].set(
             a[r_x: r_x + r_a], mode="drop", unique_indices=False)
-        ptr_out = ((ring_ptr + jnp.sum(trig_seq, dtype=jnp.int32)) % m_a
-                   ).astype(jnp.int32)
+        ptr_out = ((ring_ptr + n_trig) % m_a).astype(jnp.int32)
 
         # one refit per block if any VALID frame triggered (engine :287-346
         # with the last valid triggered frame's gate statistics).  The rings

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from se_snmf_nat_tpu.config import PipelineConfig
 from se_snmf_nat_tpu.dsp.mel import mel_matrix
 from se_snmf_nat_tpu.dsp.stft import analysis_frames, overlap_add, synthesis_frames
-from se_snmf_nat_tpu.enhance.blk_sparse import make_block_sparsity_q_block
+from se_snmf_nat_tpu.enhance.blk_sparse import (
+    block_sparsity_q, make_block_sparsity_q_block)
 from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_h_solve_columns
 from se_snmf_nat_tpu.utils.matlab_compat import matlab_v4_rand_matrix
 
@@ -113,8 +114,11 @@ def make_fast_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         # Q for the WHOLE utterance in one banded-GEMM batch (no
         # adaptation here, so no frame feeds back into any other frame's
         # statistic — see enhance/blk_sparse.make_block_sparsity_q_block);
-        # the gain scan then carries only the two (F,) recurrences
-        if blk.enabled:
+        # the gain scan then carries only the two (F,) recurrences.
+        # gap < 3 makes Q a true recurrence over centers, so it stays
+        # per-frame inside the scan (with the ring in the carry).
+        q_sequential = blk.enabled and blk.blk_gap < 3
+        if blk.enabled and not q_sequential:
             q_fn = make_block_sparsity_q_block(
                 t, n_bins=s.n_bins, p_len_k=blk.p_len_k,
                 p_len_l=blk.p_len_l, dc_bin=s.dc_bin, gap=blk.blk_gap,
@@ -126,10 +130,21 @@ def make_fast_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                             jnp.asarray(t, jnp.int32))
         else:
             q_all = jnp.ones_like(mag)
+        blk_kwargs = dict(n_bins=s.n_bins, p_len_k=blk.p_len_k,
+                          p_len_l=blk.p_len_l, dc_bin=s.dc_bin,
+                          gap=blk.blk_gap, alpha_p=blk.alpha_p,
+                          nonzerofloor=flr)
 
         def step(carry, xs):
-            lambda_dav, xm_tilde_prev = carry
+            if q_sequential:
+                lambda_dav, xm_tilde_prev, r_blk_c = carry
+            else:
+                lambda_dav, xm_tilde_prev = carry
+                r_blk_c = None
             ym, xm_hat, dm_hat, ymd, ad_mag, ax_mag, l, q = xs
+            if q_sequential:
+                q, r_blk_c = block_sparsity_q(xm_hat, dm_hat, r_blk_c, l,
+                                              **blk_kwargs)
             lambda_dav = jnp.where(l == 1, ymd, lambda_dav)
             beta = 20.0 * jnp.log10(ad_mag / ax_mag) * en.beta
             beta = jnp.clip(beta, en.beta, en.beta_max)
@@ -147,10 +162,14 @@ def make_fast_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             in_init = l <= ad.init_n_len
             gain = jnp.where(in_init, jnp.full_like(gain, flr), gain)
             xm_tilde = gain * ym
-            return (lambda_dav, xm_tilde), xm_tilde
+            out_carry = ((lambda_dav, xm_tilde, r_blk_c) if q_sequential
+                         else (lambda_dav, xm_tilde))
+            return out_carry, xm_tilde
 
         state0 = (jnp.zeros((s.n_bins,), dtype),
                   jnp.zeros((s.n_bins,), dtype))
+        if q_sequential:
+            state0 = state0 + (jnp.zeros((s.n_bins, blk.p_len_l), dtype),)
         _, xm_tilde = jax.lax.scan(
             step, state0, (mag, xm, dm, ym_dft, a_d_mag, a_x_mag, ls, q_all))
         out_frames = synthesis_frames(

@@ -194,3 +194,29 @@ def test_empty_and_short_input():
     speech, _, _, _ = _speech_noise_mix(seconds=1.0)
     enh = BnmfEnhancer(speech=speech, params=_SMALL, dtype=jnp.float64)
     assert enh.enhance(np.zeros(100)).shape == (0,)
+
+
+def test_silent_head_does_not_nan():
+    """Review regression: a digital-silence lead-in (zero-variance init
+    head) must not put NaN through the pipeline."""
+    speech, _, mix, _ = _speech_noise_mix(seconds=1.5)
+    silent = mix.copy()
+    silent[: _SMALL.init_hops * _SMALL.ulen] = 0.0
+    enh = BnmfEnhancer(speech=speech, params=_SMALL, dtype=jnp.float64)
+    y = enh.enhance(silent, quantize=False)
+    assert np.all(np.isfinite(y))
+
+
+def test_streaming_flush_idempotent():
+    """Review regression: flush() finishes the session — a second flush
+    emits nothing and a post-flush push raises."""
+    from se_snmf_nat_tpu.bnmf import BnmfStreamingSession
+    speech, _, mix, _ = _speech_noise_mix(seconds=1.0)
+    enh = BnmfEnhancer(speech=speech, params=_SMALL, dtype=jnp.float64)
+    sess = BnmfStreamingSession(enh, block_frames=4)
+    sess.push(mix)
+    first = sess.flush(quantize=False)
+    assert len(first) > 0
+    assert sess.flush(quantize=False).shape == (0,)
+    with pytest.raises(RuntimeError):
+        sess.push(mix[:100])

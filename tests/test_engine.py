@@ -371,3 +371,38 @@ def test_every_preset_enhances(reference_bases, short_clip, name):
     rms_in = np.sqrt(np.mean(short_clip[: len(y)].astype(np.float64) ** 2))
     rms_out = np.sqrt(np.mean(y.astype(np.float64) ** 2))
     assert rms_out < 2.0 * rms_in
+
+
+@pytest.mark.slow
+def test_block_adaptive_gap1_and_small_ring(reference_bases, short_clip):
+    """Review regressions: (a) blk_gap < 3 must route Q through the
+    sequential recurrence path instead of crashing; (b) adapt.m_a smaller
+    than the block (more than m_a triggers per block) must keep only the
+    newest m_a ring pushes, not scatter-collide."""
+    from dataclasses import replace
+    cfg = default_config()
+    cfg_gap1 = cfg.evolve(blk=replace(cfg.blk, blk_gap=1))
+    enh = SnmfEnhancer(cfg_gap1, *_bases4(reference_bases),
+                       dtype=jnp.float64, block_adapt=8)
+    y = enh.enhance(short_clip)
+    assert len(y) > 0 and np.all(np.isfinite(y.astype(np.float64)))
+    # gap=1 block plan still matches the gap=1 exact plan closely
+    exact = SnmfEnhancer(cfg_gap1, *_bases4(reference_bases),
+                         dtype=jnp.float64)
+    corr = np.corrcoef(y.astype(float),
+                       exact.enhance(short_clip).astype(float))[0, 1]
+    assert corr > 0.97, corr
+
+    cfg_small = cfg.evolve(adapt=replace(cfg.adapt, m_a=4))
+    blk8 = SnmfEnhancer(cfg_small, *_bases4(reference_bases),
+                        dtype=jnp.float64, block_adapt=8)
+    y8 = blk8.enhance(short_clip)
+    assert np.all(np.isfinite(y8.astype(np.float64)))
+    # deterministic: the same call twice gives identical output (a
+    # colliding scatter would be nondeterministic)
+    np.testing.assert_array_equal(y8, blk8.enhance(short_clip))
+
+
+def _bases4(reference_bases):
+    speech, noise = reference_bases
+    return (speech.b_dft, noise.b_dft, speech.b_dft, noise.b_dft)
