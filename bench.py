@@ -33,16 +33,19 @@ def main() -> None:
     speech, noise = load_reference_speech_noise(cfg.sep.r_d)
     x, fs = read_wav_int16("/root/reference/wav/M03_423C0213_STR.CH6.wav")
 
-    # production throughput plan: block-adaptive refits at K=32, the
-    # fastest point on the measured speed/quality curve that still clears
-    # the golden corr>0.99 gate on BOTH fixtures.  Quality sweep (r2, real
-    # chip): K=16 corr .9966/.9963 (identical to exact refits), K=32
-    # .9941/.9961, K=64 .9876 FAILS M03.  Speed after the ring/Q
-    # restructure (circular adaptation rings + whole-block banded-GEMM Q,
-    # stream/block_adaptive.py + enhance/blk_sparse.py): K=16 4459,
-    # K=32 5870, K=64 6515 au-s/s — K=32 stays the gated optimum.
+    # production throughput plan: block-adaptive refits at K=48
+    # (frame_bucket=192 keeps the same padding as the default 128 bucket
+    # on these lengths), the fastest point on the measured speed/quality
+    # curve that still clears the golden corr>0.99 gate on BOTH fixtures.
+    # Quality sweep (r2, real chip): K=16 corr .9966/.9963 (identical to
+    # exact refits), K=32 .9941/.9961, K=48 .9930/.9949, K=64 .9876
+    # FAILS M03.  Speed after the ring/Q restructure (circular adaptation
+    # rings + whole-block banded-GEMM Q): K=16 4459, K=32 5870, K=48
+    # 6385, K=64 6515 au-s/s — K=48 is the gated optimum; K=16 remains
+    # the quality-identical-to-exact point.
     enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
-                       noise.b_dft, dtype=jnp.float32, block_adapt=32)
+                       noise.b_dft, dtype=jnp.float32, block_adapt=48,
+                       frame_bucket=192)
     true_frames = enh.frames_for(x)
     n_true = true_frames.shape[0]
     frames = enh._pad_frames(true_frames)
@@ -154,7 +157,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "audio_seconds_per_s_per_chip",
         "value": round(value_per_chip, 2),
-        "unit": "audio-s/s/chip (adaptive SNMF-NAT enhancement, block-adaptive K=32, f32, B=64)",
+        "unit": "audio-s/s/chip (adaptive SNMF-NAT enhancement, block-adaptive K=48, f32, B=64)",
         "vs_baseline": round(value_per_chip / 100.0, 3),
         "mu_iters_per_s": round(mu_iters_per_s, 0),
         "mu_gemm_tflops": round(achieved_flops / 1e12, 2),

@@ -58,18 +58,22 @@ def _block_plan_output(x, reference_bases, k_block):
     import jax.numpy as jnp
     from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
     speech, noise = reference_bases
+    # bucket must be a K multiple; 192 is the headline (K=48) production
+    # bucket — padding frames are inert, so the choice only sets compile
+    # sharing, not output (test_block_adaptive_padding_inert)
+    bucket = 192 if k_block == 48 else 128
     enh = SnmfEnhancer(default_config(), speech.b_dft, noise.b_dft,
                        speech.b_dft, noise.b_dft, dtype=jnp.float32,
-                       block_adapt=k_block)
+                       block_adapt=k_block, frame_bucket=bucket)
     return enh.enhance(x)
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("k_block", [16, 32])
+@pytest.mark.parametrize("k_block", [16, 32, 48])
 def test_block_plan_matches_golden_m03(reference_bases, m03_wav, m03_golden,
                                        k_block):
     """The SHIPPED f32 block-adaptive plans gate against the golden wav, not
-    just the float64 oracle: K=32 is the headline bench point, K=16 the
+    just the float64 oracle: K=48 is the headline bench point, K=16 the
     quality-identical-to-exact point (r2 sweep, bench.py).  Prefix exactness
     is not gated: the block plan's adaptation lags up to K frames by design
     (stream/block_adaptive.py docstring)."""
@@ -79,12 +83,12 @@ def test_block_plan_matches_golden_m03(reference_bases, m03_wav, m03_golden,
     assert len(out) == len(ref)
     d = out.astype(np.int64) - ref.astype(np.int64)
     corr = np.corrcoef(out, ref)[0, 1]
-    assert corr > 0.99, corr                 # measured .9963 (K16) .9941 (K32)
+    assert corr > 0.99, corr        # measured .9963/.9941/.9930 (K16/32/48)
     assert np.abs(d).mean() < 200.0          # measured 75.2 (K16)
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("k_block", [16, 32])
+@pytest.mark.parametrize("k_block", [16, 32, 48])
 def test_block_plan_matches_golden_lm(reference_bases, lm_wav, lm_golden,
                                       k_block):
     x, _ = lm_wav
@@ -93,7 +97,7 @@ def test_block_plan_matches_golden_lm(reference_bases, lm_wav, lm_golden,
     assert len(out) == len(ref)
     d = out.astype(np.int64) - ref.astype(np.int64)
     corr = np.corrcoef(out, ref)[0, 1]
-    assert corr > 0.99, corr                 # measured .9958 (K16) .9961 (K32)
+    assert corr > 0.99, corr        # measured .9958/.9961/.9949 (K16/32/48)
     assert np.abs(d).mean() < 120.0          # measured 48.7 (K16)
 
 
