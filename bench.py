@@ -35,17 +35,19 @@ def main() -> None:
 
     # production throughput plan: block-adaptive refits at K=48
     # (frame_bucket=192 keeps the same padding as the default 128 bucket
-    # on these lengths), the fastest point on the measured speed/quality
-    # curve that still clears the golden corr>0.99 gate on BOTH fixtures.
-    # Quality sweep (r2, real chip): K=16 corr .9966/.9963 (identical to
-    # exact refits), K=32 .9941/.9961, K=48 .9930/.9949, K=64 .9876
-    # FAILS M03.  Speed after the ring/Q restructure (circular adaptation
-    # rings + whole-block banded-GEMM Q): K=16 4459, K=32 5870, K=48
-    # 6385, K=64 6515 au-s/s — K=48 is the gated optimum; K=16 remains
-    # the quality-identical-to-exact point.
+    # on these lengths) with the MU loops capped at 40 iterations — the
+    # fastest point on the measured speed/quality surface that still
+    # clears the golden corr>0.99 gate on BOTH fixtures.
+    # K sweep (r2, real chip, cap off): K=16 corr .9966/.9963 (identical
+    # to exact refits) 4459 au-s/s, K=32 .9941/.9961 5870, K=48
+    # .9930/.9949 6385, K=64 .9876 FAILS M03 (6515).  Iteration-cap sweep
+    # at K=48 (only ~1% of columns run past iteration 31; they drag every
+    # batched while_loop to max_iter): cap 32 corr .9931/.9949 6657,
+    # cap 40 .9930/.9946 6762, cap 64 .9930/.9949 6647 — quality is
+    # cap-invariant, cap 40 is the speed optimum.
     enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
                        noise.b_dft, dtype=jnp.float32, block_adapt=48,
-                       frame_bucket=192)
+                       frame_bucket=192, block_iter_cap=40)
     true_frames = enh.frames_for(x)
     n_true = true_frames.shape[0]
     frames = enh._pad_frames(true_frames)
@@ -157,7 +159,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "audio_seconds_per_s_per_chip",
         "value": round(value_per_chip, 2),
-        "unit": "audio-s/s/chip (adaptive SNMF-NAT enhancement, block-adaptive K=48, f32, B=64)",
+        "unit": "audio-s/s/chip (adaptive SNMF-NAT enhancement, block-adaptive K=48 cap40, f32, B=64)",
         "vs_baseline": round(value_per_chip / 100.0, 3),
         "mu_iters_per_s": round(mu_iters_per_s, 0),
         "mu_gemm_tflops": round(achieved_flops / 1e12, 2),

@@ -54,6 +54,21 @@ class SnmfParams:
     conv_eps: float = 1e-3     # 0 disables early stopping
     flr: float = FLR
     precision: str = "highest"  # matmul precision for the MU GEMMs
+    # two-phase straggler compaction for snmf_h_solve_columns (0 = off):
+    # run all columns for split_iter trips, then gather the still-active
+    # columns (typically the ~1% whose relative-cost test oscillates past
+    # the p95 freeze iteration — measured median freeze 25, p95 31 at the
+    # production KL config) into a split_frac-sized bucket and finish only
+    # those.  Column updates depend on no other column, so results are
+    # BIT-IDENTICAL to the single-phase loop (tests/test_nmf.py).
+    # Status: validated option, default OFF — on the v5e it LOSES at
+    # production shapes (fast plan 7652 -> 6403 au-s/s) because splitting
+    # XLA's fused while_loop into three costs more HBM round-trips than
+    # the straggler tail's wasted lanes; the shipped straggler answer is
+    # the block plan's measured-quality iteration cap
+    # (stream/block_adaptive.py iter_cap).
+    split_iter: int = 0
+    split_frac: float = 0.125
 
     @property
     def lax_precision(self):
@@ -244,45 +259,80 @@ def snmf_h_solve_columns(v: jnp.ndarray, w: jnp.ndarray, h0: jnp.ndarray,
         dph_base = jnp.sum(w, axis=0)[:, None] + sparsity  # constant for KL
         dph_base = jnp.maximum(dph_base, flr)
 
-    def col_cost(lamb, h):
-        div = (
-            jnp.sum(v * jnp.log(v / lamb) - v + lamb, axis=0)
-            if beta == 1.0 else
-            jnp.sum((v - lamb) ** 2, axis=0) if beta == 2.0 else
-            jnp.sum(v / lamb - jnp.log(v / lamb) - 1.0, axis=0) if beta == 0.0
-            else jnp.sum(v ** beta + (beta - 1.0) * lamb ** beta
-                         - beta * v * lamb ** (beta - 1.0), axis=0)
-            / (beta * (beta - 1.0))
-        )
-        return div, div + jnp.sum(sparsity * h, axis=0)
+    def run_phase(v_p, h_p, lamb_p, cost_p, active_p, it0, it_hi: int):
+        """One while_loop over columns of v_p; w (and the KL dph_base) are
+        shared across phases, so phase boundaries never change a column's
+        update sequence."""
 
-    def body(carry):
-        it, h, lamb, last_cost, active = carry
-        if beta == 1.0:
-            dmh = _dot(w.T, v / lamb, prec)
-            h_new = h * dmh / dph_base
-        elif beta == 2.0:
-            dph = jnp.maximum(_dot(w.T, lamb, prec) + sparsity, flr)
-            h_new = h * _dot(w.T, v, prec) / dph
-        else:
-            dph = jnp.maximum(
-                _dot(w.T, lamb ** (beta - 1.0), prec) + sparsity, flr)
-            h_new = h * _dot(w.T, v * lamb ** (beta - 2.0), prec) / dph
-        h = jnp.where(active[None, :], h_new, h)
-        lamb = jnp.maximum(_dot(w, h, prec), flr)
-        div, cost = col_cost(lamb, h)
-        rel = jnp.abs(cost - last_cost) / jnp.abs(last_cost)
-        if params.conv_eps > 0:
-            newly_done = jnp.logical_and(it > 0, rel < params.conv_eps)
-            active = jnp.logical_and(active, jnp.logical_not(newly_done))
-        return it + 1, h, lamb, cost, active
+        def col_cost(lamb, h):
+            div = (
+                jnp.sum(v_p * jnp.log(v_p / lamb) - v_p + lamb, axis=0)
+                if beta == 1.0 else
+                jnp.sum((v_p - lamb) ** 2, axis=0) if beta == 2.0 else
+                jnp.sum(v_p / lamb - jnp.log(v_p / lamb) - 1.0, axis=0)
+                if beta == 0.0
+                else jnp.sum(v_p ** beta + (beta - 1.0) * lamb ** beta
+                             - beta * v_p * lamb ** (beta - 1.0), axis=0)
+                / (beta * (beta - 1.0))
+            )
+            return div, div + jnp.sum(sparsity * h, axis=0)
 
-    def cond(carry):
-        it, _, _, _, active = carry
-        return jnp.logical_and(it < params.max_iter, jnp.any(active))
+        def body(carry):
+            it, h, lamb, last_cost, active = carry
+            if beta == 1.0:
+                dmh = _dot(w.T, v_p / lamb, prec)
+                h_new = h * dmh / dph_base
+            elif beta == 2.0:
+                dph = jnp.maximum(_dot(w.T, lamb, prec) + sparsity, flr)
+                h_new = h * _dot(w.T, v_p, prec) / dph
+            else:
+                dph = jnp.maximum(
+                    _dot(w.T, lamb ** (beta - 1.0), prec) + sparsity, flr)
+                h_new = h * _dot(w.T, v_p * lamb ** (beta - 2.0), prec) / dph
+            h = jnp.where(active[None, :], h_new, h)
+            lamb = jnp.maximum(_dot(w, h, prec), flr)
+            div, cost = col_cost(lamb, h)
+            rel = jnp.abs(cost - last_cost) / jnp.abs(last_cost)
+            if params.conv_eps > 0:
+                newly_done = jnp.logical_and(it > 0, rel < params.conv_eps)
+                active = jnp.logical_and(active, jnp.logical_not(newly_done))
+            return it + 1, h, lamb, cost, active
 
-    init = (jnp.asarray(0, jnp.int32), h, lamb,
-            jnp.full((n,), jnp.inf, v.dtype), jnp.ones((n,), bool))
-    it, h, lamb, cost, _ = lax.while_loop(cond, body, init)
+        def cond(carry):
+            it, _, _, _, active = carry
+            return jnp.logical_and(it < it_hi, jnp.any(active))
+
+        init = (jnp.asarray(it0, jnp.int32), h_p, lamb_p, cost_p, active_p)
+        return lax.while_loop(cond, body, init)
+
+    cost0 = jnp.full((n,), jnp.inf, v.dtype)
+    act0 = jnp.ones((n,), bool)
+    split = params.split_iter if params.conv_eps > 0 else 0
+    if split and 0 < split < params.max_iter and n >= 32:
+        it, h, lamb, cost, active = run_phase(v, h, lamb, cost0, act0,
+                                              0, split)
+        n2 = min(n, max(8, int(round(n * params.split_frac))))
+        n_act = jnp.sum(active, dtype=jnp.int32)
+        overflow = n_act > n2
+        # stable argsort puts active columns first in original order
+        order = jnp.argsort(jnp.logical_not(active), stable=True)
+        idx = order[:n2]
+        act_c = jnp.logical_and(active[idx], jnp.logical_not(overflow))
+        it2, h_c, lamb_c, cost_c, _ = run_phase(
+            v[:, idx], h[:, idx], lamb[:, idx], cost[idx], act_c,
+            it, params.max_iter)
+        h = h.at[:, idx].set(h_c)
+        lamb = lamb.at[:, idx].set(lamb_c)
+        cost = cost.at[idx].set(cost_c)
+        # overflow fallback: if more than n2 columns were still active, the
+        # compacted loop ran zero trips (act_c forced False) and this
+        # full-width loop finishes everything; otherwise it runs zero trips
+        act_f = jnp.logical_and(active, overflow)
+        it3, h, lamb, cost, _ = run_phase(v, h, lamb, cost, act_f,
+                                          it, params.max_iter)
+        it = jnp.maximum(it2, it3)
+    else:
+        it, h, lamb, cost, _ = run_phase(v, h, lamb, cost0, act0,
+                                         0, params.max_iter)
     div = _divergence(v, lamb, beta)
     return SnmfResult(w=w, h=h, iters=it, div=div, cost=jnp.sum(cost))

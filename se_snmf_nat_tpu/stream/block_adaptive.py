@@ -67,7 +67,8 @@ def rings_to_shift_layout(state: EngineState, ptr: jnp.ndarray,
 
 
 def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
-                    dtype=jnp.float32, k_block: int = 16):
+                    dtype=jnp.float32, k_block: int = 16,
+                    iter_cap: int = 0):
     """The K-frame block step ((state, ring_ptr), (mag_blk, ls, ok)) ->
     ((state, ring_ptr), xm_tilde_seq) shared by the offline plan and the
     streaming session.
@@ -99,9 +100,20 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             mel_matrix(s.fs, s.f_order, s.fftlength, 1.0, s.fs / 2).T, dtype)
     h0_col = jnp.asarray(matlab_v4_rand_matrix(r, 1, cfg.nmf.random_seed),
                          dtype)
+    # iter_cap (opt-in, measured): truncates BOTH the H-solve and the
+    # refit W-solve MU loops.  The per-column convergence distribution at
+    # the production KL config freezes the median column by iteration 25
+    # and p95 by 31; only ~1% of columns (oscillating relative-cost tests)
+    # run to the reference's max_iter=100, and every other column pays for
+    # them because the batched while_loop runs to the slowest column.
+    # Golden-wav quality at cap 32/40/64 is UNCHANGED vs cap 100 (corr
+    # .9930/.9946-.9949 on M03/LM at K=48 — the r2 cap sweep); cap 40 is
+    # the measured speed optimum (+6% headline).
+    eff_max_iter = (min(cfg.nmf.max_iter, iter_cap) if iter_cap
+                    else cfg.nmf.max_iter)
     params = SnmfParams(
         beta=cfg.nmf.beta, sparsity=float(cfg.nmf.sparsity),
-        max_iter=cfg.nmf.max_iter, conv_eps=cfg.nmf.conv_eps, flr=1e-9,
+        max_iter=eff_max_iter, conv_eps=cfg.nmf.conv_eps, flr=1e-9,
         precision=cfg.runtime.matmul_precision)
     m_a = ad.m_a
     # gap >= 3 (the reference default): Q leaves the scan as banded GEMMs;
@@ -308,11 +320,13 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
 
 
 def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
-                            dtype=jnp.float32, k_block: int = 16):
+                            dtype=jnp.float32, k_block: int = 16,
+                            iter_cap: int = 0):
     """Returns jitted run(frames (T,L), state0: EngineState, win) ->
     (y, state)."""
     s = cfg.signal
-    block_step = make_block_step(cfg, b1_x, b1_d, b2_x, b2_d, dtype, k_block)
+    block_step = make_block_step(cfg, b1_x, b1_d, b2_x, b2_d, dtype, k_block,
+                                 iter_cap)
 
     @jax.jit
     def run(frames, state0, win_arr, t_valid):

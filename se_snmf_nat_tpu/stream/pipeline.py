@@ -38,7 +38,7 @@ class SnmfEnhancer:
     def __init__(self, cfg: PipelineConfig | None, b1_x, b1_d, b2_x, b2_d,
                  dtype=jnp.float32, matlab_ad_blk_init: bool = True,
                  frame_bucket: int = 128, block_adapt: int = 0,
-                 warm_start: bool = False):
+                 block_iter_cap: int = 0, warm_start: bool = False):
         self.cfg = cfg or default_config()
         s = self.cfg.signal
         self.dtype = dtype
@@ -73,6 +73,7 @@ class SnmfEnhancer:
         # stream/block_adaptive.py); frame_bucket must be a multiple of the
         # block so bucketed padding stays block-aligned
         self._block_run = None
+        self.block_iter_cap = block_iter_cap if block_adapt > 0 else 0
         if block_adapt > 0:
             from se_snmf_nat_tpu.stream.block_adaptive import (
                 make_block_adaptive_run)
@@ -80,7 +81,8 @@ class SnmfEnhancer:
                 raise ValueError("frame_bucket must be a multiple of "
                                  "block_adapt")
             self._block_run = make_block_adaptive_run(
-                self.cfg, b1_x, b1_d, b2_x, b2_d, dtype, block_adapt)
+                self.cfg, b1_x, b1_d, b2_x, b2_d, dtype, block_adapt,
+                block_iter_cap)
             self._block_run_batch = jax.jit(
                 jax.vmap(self._block_run, in_axes=(0, 0, None, 0)))
 

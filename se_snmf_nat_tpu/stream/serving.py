@@ -120,7 +120,9 @@ class MultiStreamSession:
             from se_snmf_nat_tpu.stream.block_adaptive import (
                 make_block_step, rings_to_shift_layout)
             ba_step = make_block_step(enhancer.cfg, *enhancer._bases,
-                                      enhancer.dtype, k_block=self._block)
+                                      enhancer.dtype, k_block=self._block,
+                                      iter_cap=getattr(enhancer,
+                                                       "block_iter_cap", 0))
 
             def run_one_fast(frames, state, ptr, l0):
                 mag, phase = analysis_frames(

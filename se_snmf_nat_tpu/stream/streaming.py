@@ -85,7 +85,9 @@ class StreamingSession:
             from se_snmf_nat_tpu.stream.block_adaptive import (
                 make_block_step, ring_ptr0, rings_to_shift_layout)
             ba_step = make_block_step(enhancer.cfg, *enhancer._bases,
-                                      enhancer.dtype, k_block=self._block)
+                                      enhancer.dtype, k_block=self._block,
+                                      iter_cap=getattr(enhancer,
+                                                       "block_iter_cap", 0))
 
             @jax.jit
             def run_block_fast(frames, state, ptr, l0):

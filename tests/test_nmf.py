@@ -152,3 +152,27 @@ def test_pallas_h_solve_columns_matches_xla_solver():
     rel = (np.abs(np.asarray(got) - np.asarray(ref.h))
            / np.maximum(np.abs(np.asarray(ref.h)), 1e-6))
     assert rel.max() < 1e-4, rel.max()
+
+
+@pytest.mark.parametrize("split,frac", [(32, 0.125), (2, 0.001), (16, 0.2)])
+def test_split_solver_bitexact_vs_single_phase(split, frac):
+    """Two-phase straggler compaction (SnmfParams.split_iter) returns
+    BIT-IDENTICAL h to the single-phase loop: with fixed W every column's
+    update sequence depends only on itself, so gathering the unconverged
+    tail into a compact bucket changes scheduling, never trajectories.
+    (2, 0.001) forces the overflow fallback (more active columns than the
+    bucket), which must also be exact."""
+    import dataclasses
+    rng = np.random.default_rng(3)
+    m, r, n = 120, 40, 64
+    v = rng.gamma(0.6, 2.0, (m, n))
+    w = rng.random((m, r))
+    h0 = np.full((r, n), 0.5)
+    p0 = SnmfParams(beta=1.0, sparsity=5.0, max_iter=60, conv_eps=1e-3)
+    ps = dataclasses.replace(p0, split_iter=split, split_frac=frac)
+    r0 = snmf_h_solve_columns(jnp.asarray(v), jnp.asarray(w),
+                              jnp.asarray(h0), p0)
+    r1 = snmf_h_solve_columns(jnp.asarray(v), jnp.asarray(w),
+                              jnp.asarray(h0), ps)
+    assert bool(jnp.all(r0.h == r1.h))
+    assert int(r0.iters) == int(r1.iters)
