@@ -56,7 +56,9 @@ def _build_enhancer(args):
             b1x, b1d = speech.b_dft, noise.b_dft
         return SnmfEnhancer(cfg, b1x, b1d, speech.b_dft, noise.b_dft,
                             dtype=dtype,
-                            block_adapt=getattr(args, "block_adapt", 0))
+                            block_adapt=getattr(args, "block_adapt", 0),
+                            block_iter_cap=getattr(args, "block_iter_cap",
+                                                   0))
     if algo == "imcra":
         from se_snmf_nat_tpu.enhance.imcra import OmlsaEnhancer
         return OmlsaEnhancer(dtype=dtype)
@@ -225,7 +227,8 @@ def cmd_campaign(args) -> int:
     else:
         b1x, b1d = speech.b_dft, noise.b_dft
     enh = SnmfEnhancer(cfg, b1x, b1d, speech.b_dft, noise.b_dft, dtype=dtype,
-                       block_adapt=args.block_adapt)
+                       block_adapt=args.block_adapt,
+                       block_iter_cap=getattr(args, "block_iter_cap", 0))
 
     out_root = Path(args.out_root)
     results = {}
@@ -682,8 +685,13 @@ def _common_enh_args(sp):
                     choices=["float32", "float64", "bfloat16"])
     sp.add_argument("--block-adapt", type=int, default=0,
                     help="adaptive-plan block size (0=exact per-frame "
-                         "refits; 8-32 trades refit granularity for ~6x "
-                         "throughput at equal golden-output quality)")
+                         "refits; 16-48 trades refit granularity for "
+                         "~10x throughput at gated golden-output quality;"
+                         " 48 is the bench headline)")
+    sp.add_argument("--block-iter-cap", type=int, default=0,
+                    help="cap MU iterations in the block plan (0=config "
+                         "max_iter; 40 is the measured speed optimum with "
+                         "cap-invariant golden quality — bench.py)")
     sp.add_argument("--tracker", default="martin",
                     choices=["martin", "mmse"],
                     help="MS noise tracker (estnoisem / estnoiseg)")
@@ -765,6 +773,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--force", action="store_true")
     c.add_argument("--no-carry", action="store_true")
     c.add_argument("--block-adapt", type=int, default=0)
+    c.add_argument("--block-iter-cap", type=int, default=0)
     c.add_argument("--speech-dc-freq", type=float, default=None,
                    help="per-class DC cutoff Hz (driver DC_freq_set)")
     c.add_argument("--noise-dc-freq", type=float, default=None)

@@ -78,8 +78,10 @@ class SnmfEnhancer:
             from se_snmf_nat_tpu.stream.block_adaptive import (
                 make_block_adaptive_run)
             if self.frame_bucket % block_adapt:
-                raise ValueError("frame_bucket must be a multiple of "
-                                 "block_adapt")
+                # bucket only sets compile sharing (padding frames are
+                # inert), so round up to block alignment rather than error
+                self.frame_bucket = (-(-self.frame_bucket // block_adapt)
+                                     * block_adapt)
             self._block_run = make_block_adaptive_run(
                 self.cfg, b1_x, b1_d, b2_x, b2_d, dtype, block_adapt,
                 block_iter_cap)
