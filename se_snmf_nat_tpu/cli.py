@@ -706,6 +706,37 @@ def _common_enh_args(sp):
                     choices=["online", "supervised"])
 
 
+def cmd_serve(args) -> int:
+    """TCP real-time enhancement daemon: one process owns the TPU and
+    multiplexes N network streams onto the lockstep fleet
+    (runtime/server.py; the serving-scale replacement for the reference's
+    one-stream-per-MATLAB-process SE_GUI.m loop)."""
+    import asyncio
+    from se_snmf_nat_tpu.runtime.server import EnhanceServer
+    args.algorithm = "snmf"
+    enh = _build_enhancer(args)
+    srv = EnhanceServer(enh, n_lanes=args.lanes,
+                        block_frames=args.block_frames,
+                        use_block_adaptive=args.block_adaptive,
+                        host=args.host, port=args.port,
+                        underrun_pad=args.underrun_pad)
+
+    async def run():
+        await srv.start()
+        print(json.dumps({"serving": f"{srv.host}:{srv.port}",
+                          "lanes": srv.n,
+                          "block_frames": srv.session._block,
+                          "hop": srv.hop}), flush=True)
+        async with srv._server:
+            await srv._server.serve_forever()
+
+    try:
+        asyncio.run(run())
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="se_snmf_nat_tpu",
@@ -780,6 +811,27 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--batch-size", type=int, default=1)
     c.add_argument("--seed", type=int)
     c.set_defaults(fn=cmd_campaign)
+
+    sv = sub.add_parser(
+        "serve", help="TCP enhancement server (multi-tenant lockstep "
+                      "fleet; raw int16 PCM in/out per connection)")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=0,
+                    help="0 = OS-assigned (printed on startup)")
+    sv.add_argument("--lanes", type=int, default=8)
+    sv.add_argument("--block-frames", type=int, default=8,
+                    help="device-call tick size (8 amortizes dispatch to "
+                         "~5 ms/hop through a network tunnel)")
+    sv.add_argument("--block-adaptive", action="store_true",
+                    help="route full blocks through the block-adaptive "
+                         "step (throughput plan) instead of the exact "
+                         "scan")
+    sv.add_argument("--underrun-pad", action="store_true",
+                    help="real-time mode: pad lagging clients with "
+                         "silence on a wall-clock deadline instead of "
+                         "stalling the lockstep fleet")
+    _common_enh_args(sv)
+    sv.set_defaults(fn=cmd_serve)
 
     dm = sub.add_parser("demo", help="simulated real-time streaming demo")
     dm.add_argument("input")

@@ -65,7 +65,12 @@ class MultiStreamSession:
         self._queue = np.zeros((self.n, s.framelength))
         self._hold = np.zeros((self.n, 0))
         self._acc = np.zeros((self.n, s.framelength))
-        self._l = 0
+        # per-lane frame clock: lanes normally tick in lockstep, but a lane
+        # reset mid-session (multi-tenant serving — runtime/server.py)
+        # restarts ITS clock at 0 so the engine's l-dependent phases
+        # (l==1 lambda_dav seed, init_N_len gating, delay emission) replay
+        # for the new tenant while other lanes continue undisturbed
+        self._l = np.zeros((self.n,), np.int64)
         self._block = max(int(block_frames), 1)
         self._pending: list[np.ndarray] = []   # each (B, framelength)
         if states is None:
@@ -91,7 +96,8 @@ class MultiStreamSession:
 
         def run_one(frames, state, l0, n_valid):
             # same per-lane program as StreamingSession.run_block; the
-            # lane axis is added purely by vmap below
+            # lane axis is added purely by vmap below (l0 is PER-LANE so a
+            # reset lane's engine clock restarts independently)
             mag, phase = analysis_frames(
                 frames, win, s.fftlength, s.pow, s.dc_bin,
                 s.nonzerofloor, s.preemph)
@@ -113,7 +119,7 @@ class MultiStreamSession:
             return out, state
 
         self._run_block = jax.jit(
-            jax.vmap(run_one, in_axes=(0, 0, None, None)))
+            jax.vmap(run_one, in_axes=(0, 0, 0, None)))
 
         self._run_block_fast = None
         if use_block_adaptive and self._block > 1:
@@ -137,15 +143,18 @@ class MultiStreamSession:
                 return out, state, ptr
 
             self._run_block_fast = jax.jit(
-                jax.vmap(run_one_fast, in_axes=(0, 0, 0, None)))
+                jax.vmap(run_one_fast, in_axes=(0, 0, 0, 0)))
             # per-lane circular ring pointers (see StreamingSession)
             self._ba_ptr = self._shard_in(jnp.zeros((self.n,), jnp.int32))
             self._rings_to_shift = jax.jit(jax.vmap(rings_to_shift_layout))
 
     # ------------------------------------------------------------------
-    def _flush_pending(self) -> list[np.ndarray]:
-        """Run queued frame ticks through one vmapped call; returns emitted
-        (B, frameshift) hop chunks."""
+    def _flush_pending(self) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Run queued frame ticks through one vmapped call; returns one
+        ((B, frameshift) chunk, (B,) emit-mask) pair per processed tick.
+        The mask is per-lane because lane clocks may differ after a
+        mid-session ``reset_lanes`` (a fresh lane emits nothing until its
+        own l exceeds the algorithmic delay)."""
         if not self._pending:
             return []
         s = self._s
@@ -154,12 +163,12 @@ class MultiStreamSession:
         frames = np.stack(
             self._pending + [np.zeros((self.n, s.framelength))]
             * (self._block - k), axis=1)
-        l0 = self._l - k + 1
+        l0 = self._l - k + 1                       # (B,) first tick's l
         frames_dev = self._shard_in(jnp.asarray(frames, self.enh.dtype))
+        l0_dev = self._shard_in(jnp.asarray(l0, jnp.int32))
         if self._run_block_fast is not None and k == self._block:
             outs, self.state, self._ba_ptr = self._run_block_fast(
-                frames_dev, self.state, self._ba_ptr,
-                jnp.asarray(l0, jnp.int32))
+                frames_dev, self.state, self._ba_ptr, l0_dev)
         else:
             if self._run_block_fast is not None:
                 # partial tail via the exact scan: convert rings to shift
@@ -168,64 +177,116 @@ class MultiStreamSession:
                 self._ba_ptr = self._shard_in(
                     jnp.zeros((self.n,), jnp.int32))
             outs, self.state = self._run_block(
-                frames_dev, self.state,
-                jnp.asarray(l0, jnp.int32), jnp.asarray(k, jnp.int32))
+                frames_dev, self.state, l0_dev, jnp.asarray(k, jnp.int32))
         outs = np.asarray(outs)                    # (B, K, framelength)
         self._pending = []
         emitted = []
         for i in range(k):
             self._acc += outs[:, i]
-            if l0 + i > self._delay:
-                emitted.append(self._acc[:, : s.frameshift].copy())
+            emitted.append((self._acc[:, : s.frameshift].copy(),
+                            l0 + i > self._delay))
             self._acc = np.concatenate(
                 [self._acc[:, s.frameshift:],
                  np.zeros((self.n, s.frameshift))], axis=1)
         return emitted
 
-    def _process_hop(self, hops: np.ndarray) -> np.ndarray | None:
+    def _process_hop(self, hops: np.ndarray
+                     ) -> list[tuple[np.ndarray, np.ndarray]]:
         s = self._s
         self._queue = np.concatenate(
             [self._queue[:, s.frameshift:], hops], axis=1)
         self._l += 1
         self._pending.append(self._queue.copy())
         if len(self._pending) < self._block:
-            return None
-        out = self._flush_pending()
-        return np.concatenate(out, axis=1) if out else None
+            return []
+        return self._flush_pending()
+
+    @staticmethod
+    def _assemble(emitted, n: int, quantize: bool) -> list[np.ndarray]:
+        """Per-lane concatenation of masked emission chunks."""
+        per_lane: list[list[np.ndarray]] = [[] for _ in range(n)]
+        for chunk, mask in emitted:
+            for i in np.nonzero(mask)[0]:
+                per_lane[i].append(chunk[i])
+        out = []
+        for lanes in per_lane:
+            y = np.concatenate(lanes) if lanes else np.zeros((0,))
+            out.append(enhanced_quantize(y) if quantize else y)
+        return out
 
     def push(self, samples: np.ndarray, quantize: bool = True) -> np.ndarray:
         """Feed ``(B, n)`` int16-scale samples (lockstep across lanes);
-        returns the ``(B, m)`` finalized samples available so far."""
+        returns the ``(B, m)`` finalized samples available so far.  Lanes
+        whose clocks have diverged (after ``reset_lanes``) emit unequal
+        lengths — use ``push_per_lane`` then."""
+        outs = self.push_per_lane(samples, quantize)
+        if len({len(o) for o in outs}) > 1:
+            raise ValueError("lane clocks diverged (reset_lanes was used); "
+                             "call push_per_lane for ragged emission")
+        return np.stack(outs, axis=0)
+
+    def push_per_lane(self, samples: np.ndarray,
+                      quantize: bool = True) -> list[np.ndarray]:
+        """push() variant returning one 1-D array per lane (lanes may owe
+        different lengths when their clocks differ)."""
         s = self._s
         samples = np.asarray(samples, np.float64)
         if samples.ndim != 2 or samples.shape[0] != self.n:
             raise ValueError(f"push expects ({self.n}, n) samples")
         buf = np.concatenate([self._hold, samples], axis=1)
-        outs = []
+        emitted = []
         while buf.shape[1] >= s.frameshift:
             hops, buf = buf[:, : s.frameshift], buf[:, s.frameshift:]
-            e = self._process_hop(hops)
-            if e is not None:
-                outs.append(e)
+            emitted.extend(self._process_hop(hops))
         self._hold = buf
-        y = (np.concatenate(outs, axis=1) if outs
-             else np.zeros((self.n, 0)))
-        return enhanced_quantize(y) if quantize else y
+        return self._assemble(emitted, self.n, quantize)
 
     def flush(self, quantize: bool = True) -> np.ndarray:
         """EOF on every lane: reference flush semantics (whole queue zeroed
         per flush frame — filewise_run_IS16.m:105-113), lockstep."""
         s = self._s
         self._hold = np.zeros((self.n, 0))
-        outs = []
+        emitted = []
         for _ in range(self._delay + 1):
             self._queue = np.zeros((self.n, s.framelength))
-            e = self._process_hop(np.zeros((self.n, s.frameshift)))
-            if e is not None:
-                outs.append(e)
-        tail = self._flush_pending()
-        if tail:
-            outs.append(np.concatenate(tail, axis=1))
-        y = (np.concatenate(outs, axis=1) if outs
-             else np.zeros((self.n, 0)))
-        return enhanced_quantize(y) if quantize else y
+            emitted.extend(self._process_hop(np.zeros((self.n,
+                                                       s.frameshift))))
+        emitted.extend(self._flush_pending())
+        outs = self._assemble(emitted, self.n, quantize)
+        if len({len(o) for o in outs}) > 1:
+            raise ValueError("lane clocks diverged; drain lanes via "
+                             "zero_queue_rows + push_per_lane instead")
+        return np.stack(outs, axis=0)
+
+    # ----- multi-tenant lane lifecycle (runtime/server.py) -------------
+    def zero_queue_rows(self, lanes) -> None:
+        """Per-lane analog of the flush loop's queue zeroing: call before
+        each drain tick of an EOF'd lane (then feed it zero hops) to
+        reproduce StreamingSession.flush semantics on that lane alone."""
+        self._queue[np.asarray(lanes, int)] = 0.0
+
+    def reset_lanes(self, lanes) -> None:
+        """Return lanes to the enhancer's initial state for a new tenant:
+        engine state, OLA accumulator, frame queue, ring pointer and the
+        lane clock all restart.  Other lanes are untouched.  Must be called
+        at a tick boundary with no queued partial block."""
+        if self._pending:
+            raise RuntimeError("reset_lanes requires an empty pending "
+                               "block (tick until the block flushes)")
+        lanes = np.asarray(lanes, int)
+        sel = np.zeros((self.n,), bool)
+        sel[lanes] = True
+        sel_dev = self._shard_in(jnp.asarray(sel))
+        init = self.enh.initial_state()
+        self.state = jax.tree.map(
+            lambda full, ini: jnp.where(
+                sel_dev.reshape((self.n,) + (1,) * ini.ndim),
+                ini[None], full),
+            self.state, init)
+        if self._run_block_fast is not None:
+            self._ba_ptr = jnp.where(sel_dev, 0, self._ba_ptr)
+        self._queue[lanes] = 0.0
+        self._acc[lanes] = 0.0
+        if self._hold.shape[1]:
+            self._hold[lanes] = 0.0
+        self._l[lanes] = 0

@@ -1,0 +1,147 @@
+"""EnhanceServer: multi-tenant TCP serving over the lockstep fleet.
+
+Gates (x64, exact engine): a network client's enhanced stream is
+BIT-IDENTICAL to StreamingSession.push+flush on the same samples —
+concurrently with other tenants, and for a second tenant reusing a freed
+lane (reset_lanes correctness).  The server analog of SE_GUI.m's one
+process / one stream, redesigned as one device program / N streams."""
+
+import asyncio
+from dataclasses import replace
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from se_snmf_nat_tpu.config import default_config
+from se_snmf_nat_tpu.runtime.server import EnhanceServer, enhance_over_socket
+from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+from se_snmf_nat_tpu.stream.streaming import StreamingSession
+
+
+@pytest.fixture(scope="module")
+def enh():
+    cfg = default_config()
+    cfg = cfg.evolve(
+        sep=replace(cfg.sep, r_x=8, r_d=8),
+        adapt=replace(cfg.adapt, r_a=4, m_a=10),
+        nmf=replace(cfg.nmf, max_iter=6),
+    )
+    rng = np.random.default_rng(0)
+    f = cfg.signal.n_bins
+    bx = rng.random((f, 8)) + 1e-3
+    bd = rng.random((f, 8)) + 1e-3
+    return SnmfEnhancer(cfg, bx, bd, bx, bd, dtype=jnp.float64,
+                        matlab_ad_blk_init=False)
+
+
+def _signals(n, length, seed=7):
+    rng = np.random.default_rng(seed)
+    return [np.round(rng.standard_normal(length) * 2000.0)
+            for _ in range(n)]
+
+
+def _reference_stream(enh, x):
+    sess = StreamingSession(enh)
+    return np.concatenate([sess.push(x), sess.flush()])
+
+
+def _run(coro):
+    return asyncio.run(coro)
+
+
+@pytest.mark.slow
+def test_single_client_bitexact(enh):
+    x = _signals(1, 4800)[0]
+    want = _reference_stream(enh, x)
+
+    async def go():
+        srv = await EnhanceServer(enh, n_lanes=2, block_frames=1).start()
+        try:
+            return await enhance_over_socket("127.0.0.1", srv.port, x)
+        finally:
+            await srv.stop()
+
+    got = _run(go())
+    np.testing.assert_array_equal(got, want.astype(np.int16))
+
+
+@pytest.mark.slow
+def test_concurrent_clients_bitexact_and_independent(enh):
+    xs = _signals(3, 4800)
+    wants = [_reference_stream(enh, x) for x in xs]
+
+    async def go():
+        srv = await EnhanceServer(enh, n_lanes=4, block_frames=1).start()
+        try:
+            outs = await asyncio.gather(*[
+                enhance_over_socket("127.0.0.1", srv.port, x, chunk=501)
+                for x in xs])
+        finally:
+            await srv.stop()
+        return outs
+
+    outs = _run(go())
+    for got, want in zip(outs, wants):
+        np.testing.assert_array_equal(got, want.astype(np.int16))
+
+
+@pytest.mark.slow
+def test_sequential_tenants_get_fresh_lanes(enh):
+    """Tenant B reuses tenant A's lane; B must match a fresh session
+    bit-for-bit (state, clock and OLA chain all reset)."""
+    xa, xb = _signals(2, 3200, seed=11)
+    want_b = _reference_stream(enh, xb)
+
+    async def go():
+        srv = await EnhanceServer(enh, n_lanes=1, block_frames=1).start()
+        try:
+            await enhance_over_socket("127.0.0.1", srv.port, xa)
+            # lane frees asynchronously after the first client's EOF
+            for _ in range(100):
+                if srv.lanes[0].state == "free":
+                    break
+                await asyncio.sleep(0.01)
+            return await enhance_over_socket("127.0.0.1", srv.port, xb)
+        finally:
+            await srv.stop()
+
+    got_b = _run(go())
+    np.testing.assert_array_equal(got_b, want_b.astype(np.int16))
+
+
+@pytest.mark.slow
+def test_busy_refusal(enh):
+    async def go():
+        srv = await EnhanceServer(enh, n_lanes=1, block_frames=1).start()
+        try:
+            x = _signals(1, 3200)[0]
+            first = asyncio.create_task(
+                enhance_over_socket("127.0.0.1", srv.port, x))
+            await asyncio.sleep(0.05)
+            with pytest.raises(RuntimeError, match="busy"):
+                await enhance_over_socket("127.0.0.1", srv.port, x)
+            await first
+        finally:
+            await srv.stop()
+
+    _run(go())
+
+
+@pytest.mark.slow
+def test_block_mode_client_bitexact(enh):
+    """block_frames=8 (the latency-amortized production tick) must not
+    change a client's bytes: with the exact engine, block grouping is
+    bit-inert (the gated streaming==offline invariant)."""
+    x = _signals(1, 4800, seed=13)[0]
+    want = _reference_stream(enh, x)
+
+    async def go():
+        srv = await EnhanceServer(enh, n_lanes=2, block_frames=8).start()
+        try:
+            return await enhance_over_socket("127.0.0.1", srv.port, x)
+        finally:
+            await srv.stop()
+
+    got = _run(go())
+    np.testing.assert_array_equal(got, want.astype(np.int16))
