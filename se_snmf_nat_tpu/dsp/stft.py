@@ -57,6 +57,34 @@ def stream_frames(x: np.ndarray, framelength: int, frameshift: int,
     return frames
 
 
+def stream_frames_jax(samples: jnp.ndarray, n_hops: jnp.ndarray,
+                      framelength: int, frameshift: int) -> jnp.ndarray:
+    """``stream_frames`` computed ON DEVICE (inside jit) from raw samples.
+
+    Host↔device traffic is the campaign bottleneck on a tunneled chip:
+    the (T, framelength) frame matrix carries every sample
+    framelength/frameshift (= 4x) times, so uploading samples and framing
+    in-graph cuts the transfer ~4x (9x vs a float64 host frame matrix).
+    The gather is the closed form of the reference's streaming queue and
+    is value-identical to ``stream_frames`` (gated in test_dsp):
+
+    ``samples``: (S,) with S = T * frameshift for the bucketed frame
+    count T; entries beyond ``n_hops * frameshift`` MUST be zero (host
+    zero-pads; the trailing partial hop is dropped there too).
+    ``n_hops``: traced scalar — frames at l >= n_hops are zeroed, exactly
+    like the reference's flush frames (the queue is zeroed, not shifted,
+    at EOF: filewise_run_IS16.m:105-113) and the bucket's padding frames.
+    """
+    t_bucket = samples.shape[-1] // frameshift
+    pad = framelength - frameshift
+    xp = jnp.pad(samples, (pad, framelength))
+    idx = (jnp.arange(framelength)[None, :]
+           + frameshift * jnp.arange(t_bucket)[:, None])
+    frames = xp[idx]
+    mask = jnp.arange(t_bucket)[:, None] < n_hops
+    return frames * mask.astype(frames.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Analysis
 # ---------------------------------------------------------------------------

@@ -166,3 +166,28 @@ def test_tiled_to_rank_small_rank():
     np.testing.assert_array_equal(wide.b_dft[:, 6:9], pair.b_dft)
     np.testing.assert_array_equal(wide.b_dft[:, 9], pair.b_dft[:, 0])
     assert pair.tiled_to_rank(3) is pair
+
+
+def test_stream_frames_jax_matches_host():
+    """Device-side framing (raw-sample upload path) is value-identical to
+    the host stream_frames closed form, including partial-hop truncation,
+    zeroed flush frames, and bucket padding."""
+    import jax.numpy as jnp
+    from se_snmf_nat_tpu.dsp.stft import stream_frames, stream_frames_jax
+    rng = np.random.default_rng(5)
+    flen, shift, n_flush = 640, 160, 4
+    for n in (1603, 6400, 6401):
+        x = rng.standard_normal(n)
+        want = stream_frames(x, flen, shift, n_flush)
+        t_true = want.shape[0]
+        t_bucket = 64                      # bucketed frame count
+        n_hops = n // shift
+        smp = np.zeros(t_bucket * shift)
+        smp[: n_hops * shift] = x[: n_hops * shift]
+        got = np.asarray(stream_frames_jax(
+            jnp.asarray(smp), jnp.asarray(n_hops), flen, shift))
+        assert got.shape == (t_bucket, flen)
+        np.testing.assert_array_equal(got[:t_true - n_flush],
+                                      want[:t_true - n_flush])
+        # flush + bucket-padding frames are exactly zero
+        assert not got[t_true - n_flush:].any()

@@ -181,3 +181,22 @@ def test_golden_deviation_envelope(reference_bases, m03_wav, m03_golden):
     pert = noise.b_dft * (1.0 + 1e-7 * rng.standard_normal(noise.b_dft.shape))
     d_fp = np.abs(run(bd=pert) - base)
     assert d_fp.max() <= 1 and d_fp.mean() < 0.01, (d_fp.max(), d_fp.mean())
+
+
+@pytest.mark.slow
+def test_block_plan_batch_matches_single(reference_bases, m03_wav):
+    """enhance_batch (samples upload + in-graph framing) is bit-identical
+    to per-utterance enhance on the block plan, mixed lengths (x64 — at
+    f32 the vmapped GEMMs tile differently and quantization flips ~0.1%
+    of samples by 1 LSB, the usual batched-vs-single envelope)."""
+    import jax.numpy as jnp
+    from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+    speech, noise = reference_bases
+    enh = SnmfEnhancer(default_config(), speech.b_dft, noise.b_dft,
+                       speech.b_dft, noise.b_dft, dtype=jnp.float64,
+                       block_adapt=16)
+    x = m03_wav[0]
+    a, b = x[:40000], x[:23500]
+    outs = enh.enhance_batch([a, b])
+    np.testing.assert_array_equal(outs[0], enh.enhance(a))
+    np.testing.assert_array_equal(outs[1], enh.enhance(b))
