@@ -85,6 +85,22 @@ def stream_frames_jax(samples: jnp.ndarray, n_hops: jnp.ndarray,
     return frames * mask.astype(frames.dtype)
 
 
+def pack_samples_for_upload(smp: np.ndarray, np_dtype=np.float32) -> np.ndarray:
+    """Pick the narrowest exact wire dtype for a sample upload.
+
+    Every wav read yields integer-valued doubles in int16 scale (MATLAB
+    fread-int16 semantics, io/wavio.py), so the batch entry points can ship
+    int16 over the tunnel — 2x less than f32, 4x less than f64 — and cast to
+    the compute dtype in-graph (int16 -> f32/f64 is exact, so outputs are
+    bit-identical).  Non-integer or out-of-range inputs (synthetic floats)
+    fall back to ``np_dtype``.
+    """
+    if (np.all(smp == np.floor(smp))
+            and smp.min() >= -32768 and smp.max() <= 32767):
+        return smp.astype(np.int16)
+    return np.asarray(smp, np_dtype)
+
+
 # ---------------------------------------------------------------------------
 # Analysis
 # ---------------------------------------------------------------------------

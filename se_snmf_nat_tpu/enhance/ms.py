@@ -24,9 +24,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from se_snmf_nat_tpu.dsp.stft import pack_samples_for_upload
 from se_snmf_nat_tpu.oracle.ms_np import (
     MsDerived, MsgParams, MsParams, ms_derived)
-from se_snmf_nat_tpu.utils.matlab_compat import matlab_int16_write
+from se_snmf_nat_tpu.utils.matlab_compat import (
+    matlab_int16_write, matlab_int16_write_jax)
 from se_snmf_nat_tpu.utils.special import (
     bessel_i0_small, bessel_i1_small, expint_e1)
 
@@ -253,6 +255,86 @@ class MmseEnhancer:
         self._no = no
         self.frame_bucket = 64
 
+        # samples-in / int16-out batched entry (one-shot semantics): raw
+        # samples upload, in-graph framing (window nf, hop ni -> 2x frame
+        # redundancy), MATLAB fwrite-int16 rounding on device.  Transfers
+        # dominate tunneled campaign wall time (CLAUDE.md perf notes).
+        # Frames at l >= n_valid need no masking: the masked scan zeroes
+        # their gains, so they synthesize zeros and add nothing to the OLA
+        # — bit-equal to the host framing path (x64-gated in test_ms).
+        def run_samples(smp, scan0, n_valid):
+            smp = smp.astype(dtype)   # int16 wire format -> compute dtype
+            nr_b = (smp.shape[-1] - (nf - ni)) // ni
+            idx = (ni * jnp.arange(nr_b)[:, None]
+                   + jnp.arange(nf)[None, :])
+            y, _ = run(smp[idx], scan0, n_valid)
+            return y, matlab_int16_write_jax(y)
+
+        self._run_batch_samples = jax.jit(jax.vmap(run_samples))
+
+    def _scan0(self, s: np.ndarray, idx: np.ndarray, nr: int):
+        """First-chunk tracker init, on host in float64 so every execution
+        plan (single, chunked, batched) starts from bit-identical state."""
+        d, nf = self.d, self.d.nf
+        win = d.win
+        if self.tracker == "mmse":
+            # estnoiseg.m:122-124 init: psini * mean of the first
+            # ~tavini seconds of frames
+            n0 = max(1, min(nr, int(round(1 + self.g.tavini / d.tinc))))
+            y0 = np.fft.rfft(s[idx[:n0]] * win[None, :], nf, axis=1)
+            yp0 = (y0 * np.conj(y0)).real
+            return MsgScanState(
+                xt=jnp.asarray(self.g.psini * yp0.mean(axis=0), self.dtype),
+                pslp=jnp.full((nf // 2 + 1,), self.g.psini, self.dtype),
+                xu=jnp.ones((nf // 2 + 1,), self.dtype))
+        y0 = np.fft.rfft(s[idx[0]] * win, nf)
+        yp0 = jnp.asarray((y0 * np.conj(y0)).real, self.dtype)
+        return init_ms_scan_state(yp0, self.p, d, self.dtype)
+
+    def enhance_batch(self, xs: list[np.ndarray], quantize: bool = True):
+        """Batch one-shot enhancement (the BatchRunner's DP plan for MS —
+        the runner never threads MS stream state across files, runner.py).
+
+        Uploads RAW SAMPLES and fetches int16 PCM; the tracker init runs on
+        host per utterance (cheap: one float64 rfft) so batched outputs are
+        bit-identical to per-utterance ``enhance`` (x64-gated in test_ms)."""
+        d = self.d
+        ni, nf = d.ni, d.nf
+        xs_np = [np.asarray(x, np.float64).reshape(-1) for x in xs]
+        nrs = np.asarray(
+            [(len(x) - nf + ni) // ni if len(x) >= nf else 0 for x in xs_np],
+            np.int64)
+        if int(nrs.max()) == 0:
+            return [np.zeros(0, np.int16 if quantize else np.float64)
+                    for _ in xs]
+        nr_max = -(-int(nrs.max()) // self.frame_bucket) * self.frame_bucket
+        smp = np.zeros((len(xs), ni * (nr_max - 1) + nf), np.float64)
+        scan0s = []
+        for i, x in enumerate(xs_np):
+            nr = int(nrs[i])
+            if nr == 0:
+                # inert placeholder state; its lane outputs are discarded
+                scan0s.append(self._scan0(np.zeros(nf), np.arange(nf)[None, :], 1))
+                continue
+            smp[i, : len(x)] = x
+            idx = ni * np.arange(nr)[:, None] + np.arange(nf)[None, :]
+            scan0s.append(self._scan0(x, idx, nr))
+        scan0_b = jax.tree.map(lambda *a: jnp.stack(a), *scan0s)
+        np_dt = np.float64 if self.dtype == jnp.float64 else np.float32
+        ys, pcm = self._run_batch_samples(
+            jnp.asarray(pack_samples_for_upload(smp, np_dt)), scan0_b,
+            jnp.asarray(nrs, jnp.int32))
+        fetched = np.asarray(pcm if quantize else ys)
+        outs = []
+        for i in range(len(xs)):
+            nr = int(nrs[i])
+            if nr == 0:
+                outs.append(np.zeros(0, fetched.dtype))
+                continue
+            out = fetched[i, : ni * (nr + self._no - 1)]
+            outs.append(out if quantize else out.astype(np.float64))
+        return outs
+
     def initial_state(self) -> MsStreamState:
         return MsStreamState(scan=None,
                              ssv=np.zeros(self.d.ni * (self._no - 1)),
@@ -283,25 +365,7 @@ class MmseEnhancer:
             frames_np = np.concatenate(
                 [frames_np, np.zeros((nr_pad - nr, nf))], axis=0)
         frames = jnp.asarray(frames_np, self.dtype)
-        if st.scan is None:
-            win = d.win
-            if self.tracker == "mmse":
-                # estnoiseg.m:122-124 init: psini * mean of the first
-                # ~tavini seconds of frames
-                n0 = max(1, min(nr, int(round(1 + self.g.tavini / d.tinc))))
-                y0 = np.fft.rfft(s[idx[:n0]] * win[None, :], nf, axis=1)
-                yp0 = (y0 * np.conj(y0)).real
-                scan0 = MsgScanState(
-                    xt=jnp.asarray(self.g.psini * yp0.mean(axis=0),
-                                   self.dtype),
-                    pslp=jnp.full((nf // 2 + 1,), self.g.psini, self.dtype),
-                    xu=jnp.ones((nf // 2 + 1,), self.dtype))
-            else:
-                y0 = np.fft.rfft(s[idx[0]] * win, nf)
-                yp0 = jnp.asarray((y0 * np.conj(y0)).real, self.dtype)
-                scan0 = init_ms_scan_state(yp0, self.p, d, self.dtype)
-        else:
-            scan0 = st.scan
+        scan0 = st.scan if st.scan is not None else self._scan0(s, idx, nr)
         ss, scan_out = self._run(frames, scan0, jnp.asarray(nr, jnp.int32))
         ss = np.array(ss, np.float64, copy=True)[: ni * (nr + self._no - 1)]
         ss[:tail] += st.ssv

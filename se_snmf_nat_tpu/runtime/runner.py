@@ -70,7 +70,14 @@ class BatchRunner:
                 todo.append(f)
 
         t0 = time.perf_counter()
-        if batch_size > 1 and not self.carry_state \
+        # Batch (DP) plan whenever carry is off OR the enhancer has no
+        # dictionary head to carry: for MS/IMCRA the sequential plan already
+        # runs one-shot per file (no reference-sanctioned cross-file state),
+        # so batching them is semantics-free throughput.
+        init0 = self.enhancer.initial_state() \
+            if hasattr(self.enhancer, "initial_state") else None
+        batchable = not self.carry_state or not hasattr(init0, "b_d_head")
+        if batch_size > 1 and batchable \
                 and hasattr(self.enhancer, "enhance_batch"):
             for i in range(0, len(todo), batch_size):
                 chunk = todo[i: i + batch_size]

@@ -26,11 +26,12 @@ import jax.numpy as jnp
 
 from se_snmf_nat_tpu.config import PipelineConfig, default_config
 from se_snmf_nat_tpu.dsp.stft import (
-    analysis_frames, overlap_add, stream_frames, stream_frames_jax,
-    synthesis_frames)
+    analysis_frames, overlap_add, pack_samples_for_upload, stream_frames,
+    stream_frames_jax, synthesis_frames)
 from se_snmf_nat_tpu.dsp.windows import sqrt_hann_periodic
 from se_snmf_nat_tpu.enhance.engine import make_engine
 from se_snmf_nat_tpu.io.wavio import enhanced_quantize
+from se_snmf_nat_tpu.utils.matlab_compat import matlab_int16_write_jax
 
 
 class SnmfEnhancer:
@@ -130,13 +131,15 @@ class SnmfEnhancer:
         # dominate tunneled campaign wall time (measured ~30 MB/s up,
         # ~7 MB/s down).  x+0.5 and floor are exact over the int16 range
         # in f32, so the device rounding is bit-equal to the host chain.
-        def _to_pcm(y):
-            r = jnp.sign(y) * jnp.floor(jnp.abs(y) + 0.5)
-            return jnp.clip(r, -32768, 32767).astype(jnp.int16)
+        _to_pcm = matlab_int16_write_jax
 
+        # Integer-valued inputs (every wav read — MATLAB fread-int16 scale)
+        # additionally upload as int16 and cast to the compute dtype
+        # in-graph (exact): 2x less upload than f32, 4x less than f64.
         def scan_from_samples(smp, nh, state, tv):
-            y, st = run(stream_frames_jax(smp, nh, s.framelength,
-                                          s.frameshift), state, tv)
+            y, st = run(stream_frames_jax(smp.astype(self.dtype), nh,
+                                          s.framelength, s.frameshift),
+                        state, tv)
             return _to_pcm(y), st
 
         self._run_batch_samples = jax.jit(
@@ -145,7 +148,8 @@ class SnmfEnhancer:
         if self._fast_run is not None:
             def fast_from_samples(smp, nh, win_arr):
                 return _to_pcm(self._fast_run(
-                    stream_frames_jax(smp, nh, s.framelength, s.frameshift),
+                    stream_frames_jax(smp.astype(self.dtype), nh,
+                                      s.framelength, s.frameshift),
                     win_arr))
             self._fast_run_batch_samples = jax.jit(
                 jax.vmap(fast_from_samples, in_axes=(0, 0, None)))
@@ -153,7 +157,8 @@ class SnmfEnhancer:
         if self._block_run is not None:
             def block_from_samples(smp, nh, state, win_arr, tv):
                 y, st = self._block_run(
-                    stream_frames_jax(smp, nh, s.framelength, s.frameshift),
+                    stream_frames_jax(smp.astype(self.dtype), nh,
+                                      s.framelength, s.frameshift),
                     state, win_arr, tv)
                 return _to_pcm(y), st
             self._block_run_batch_samples = jax.jit(
@@ -276,11 +281,11 @@ class SnmfEnhancer:
         t_true = n_hops + n_flush               # == frames_for(x).shape[0]
         t_max = -(-int(t_true.max()) // self.frame_bucket) * self.frame_bucket
         np_dt = np.float64 if self.dtype == jnp.float64 else np.float32
-        smp = np.zeros((len(xs), t_max * shift), np_dt)
+        smp = np.zeros((len(xs), t_max * shift), np.float64)
         for i, x in enumerate(xs):
             m = int(n_hops[i]) * shift          # trailing partial hop drops
             smp[i, :m] = np.asarray(x)[:m]
-        smp_dev = jnp.asarray(smp, self.dtype)
+        smp_dev = jnp.asarray(pack_samples_for_upload(smp, np_dt))
         nh_dev = jnp.asarray(n_hops)
         if self._block_run_batch_samples is not None:
             states = jax.tree.map(

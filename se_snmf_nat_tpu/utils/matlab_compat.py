@@ -134,6 +134,18 @@ def matlab_int16_write(x: np.ndarray) -> np.ndarray:
     return np.clip(y, -32768, 32767).astype(np.int16)
 
 
+def matlab_int16_write_jax(y):
+    """``matlab_int16_write`` ON DEVICE (jnp): round half-away, saturate,
+    int16.  x+0.5 and floor are exact over the int16 range in f32, so the
+    device rounding is bit-equal to the host chain; fetching int16 instead
+    of f32/f64 waveforms cuts the tunnel download 2-4x (the campaign
+    bottleneck — CLAUDE.md perf notes)."""
+    import jax.numpy as jnp
+
+    r = jnp.sign(y) * jnp.floor(jnp.abs(y) + 0.5)
+    return jnp.clip(r, -32768, 32767).astype(jnp.int16)
+
+
 def matlab_wavwrite_quantize(x: np.ndarray) -> np.ndarray:
     """MATLAB wavwrite(x, fs, 16, ...) 16-bit quantization: round(x*32768),
     saturated.  Note the asymmetric scale (32768, not 32767)."""

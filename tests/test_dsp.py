@@ -191,3 +191,16 @@ def test_stream_frames_jax_matches_host():
                                       want[:t_true - n_flush])
         # flush + bucket-padding frames are exactly zero
         assert not got[t_true - n_flush:].any()
+
+
+def test_pack_samples_for_upload():
+    from se_snmf_nat_tpu.dsp.stft import pack_samples_for_upload
+    # integer-valued int16-scale doubles -> int16 wire format
+    a = np.array([[0.0, -32768.0, 32767.0, 5.0]])
+    p = pack_samples_for_upload(a)
+    assert p.dtype == np.int16
+    np.testing.assert_array_equal(p.astype(np.float64), a)
+    # non-integer or out-of-range values fall back to the compute dtype
+    assert pack_samples_for_upload(np.array([[0.5]])).dtype == np.float32
+    assert pack_samples_for_upload(
+        np.array([[40000.0]]), np.float64).dtype == np.float64

@@ -149,3 +149,46 @@ def test_tracker_choice_changes_output(clip):
     b = MmseEnhancer(fs, dtype=jnp.float64, tracker="mmse").enhance(x)
     assert a.shape == b.shape
     assert not np.array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_batch_matches_single(clip):
+    """enhance_batch (samples upload + in-graph framing + device int16
+    write) is bit-identical to per-utterance enhance at x64, incl. the
+    quantized path and mixed lengths."""
+    x, fs = clip
+    enh = MmseEnhancer(fs, dtype=jnp.float64)
+    a, b = x, x[: int(0.7 * fs)]
+    outs = enh.enhance_batch([a, b])
+    np.testing.assert_array_equal(outs[0], enh.enhance(a))
+    np.testing.assert_array_equal(outs[1], enh.enhance(b))
+    fa, fb = enh.enhance_batch([a, b], quantize=False)
+    np.testing.assert_array_equal(fa, enh.enhance(a, quantize=False))
+    np.testing.assert_array_equal(fb, enh.enhance(b, quantize=False))
+
+
+@pytest.mark.slow
+def test_batch_matches_single_mmse_tracker(clip):
+    x, fs = clip
+    enh = MmseEnhancer(fs, dtype=jnp.float64, tracker="mmse")
+    a, b = x[: int(1.3 * fs)], x
+    outs = enh.enhance_batch([a, b])
+    np.testing.assert_array_equal(outs[0], enh.enhance(a))
+    np.testing.assert_array_equal(outs[1], enh.enhance(b))
+
+
+def test_batch_empty_and_short_inputs():
+    enh = MmseEnhancer(16000, dtype=jnp.float64)
+    outs = enh.enhance_batch([np.zeros(10), np.zeros(0)])
+    assert outs[0].size == 0 and outs[1].size == 0
+
+
+@pytest.mark.slow
+def test_batch_noninteger_inputs_match_single(clip):
+    """Non-integer-valued inputs take the float upload fallback and still
+    match the single path bit-for-bit at x64."""
+    x, fs = clip
+    enh = MmseEnhancer(fs, dtype=jnp.float64)
+    a = x[: fs] + 0.25
+    outs = enh.enhance_batch([a])
+    np.testing.assert_array_equal(outs[0], enh.enhance(a))
