@@ -629,6 +629,52 @@ def cmd_bench(args) -> int:
                           "rms_out": round(float(
                               np.sqrt((y.astype(float) ** 2).mean())), 1)}))
         return 0
+    if args.campaign:
+        # End-to-end campaign throughput: wall time of enhance_batch
+        # INCLUDING host<->device transfers — the tunneled-campaign wall
+        # (CLAUDE.md: tunnel bandwidth ~30-48 MB/s up, ~0.1-7 MB/s down
+        # dominates; the batch entries upload int16 samples and fetch
+        # int16 PCM with framing + fwrite-int16 rounding in-graph).
+        # Inputs rotate per rep and per lane (integer-valued circular
+        # shifts keep the int16 wire format) so the tunnel's dispatch
+        # dedupe cannot serve a cached result (CLAUDE.md timing traps).
+        import time as _time
+        import jax.numpy as jnp
+        from se_snmf_nat_tpu.config import default_config
+        from se_snmf_nat_tpu.enhance.imcra import OmlsaEnhancer
+        from se_snmf_nat_tpu.enhance.ms import MmseEnhancer
+        from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
+        from se_snmf_nat_tpu.io.wavio import read_wav_int16
+        from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+        cfg = default_config()
+        x, fs = read_wav_int16(
+            "/root/reference/wav/M03_423C0213_STR.CH6.wav")
+        b_sz = args.campaign_batch
+        au = b_sz * len(x) / fs
+
+        def run_e2e(enh, reps=5):
+            xs = [np.roll(x, 61 * i) for i in range(b_sz)]
+            enh.enhance_batch(xs)                      # compile + warm
+            best = float("inf")
+            for rep in range(reps):
+                xs = [np.roll(x, 9973 * (rep + 1) + 61 * i)
+                      for i in range(b_sz)]
+                t0 = _time.perf_counter()
+                enh.enhance_batch(xs)
+                best = min(best, _time.perf_counter() - t0)
+            return {"call_s": round(best, 3),
+                    "audio_s_per_s_e2e": round(au / best, 1)}
+
+        speech, noise = load_reference_speech_noise(cfg.sep.r_d)
+        out = {"batch": b_sz, "wav": "M03", "audio_s_per_call": round(au, 1)}
+        out["snmf_block48"] = run_e2e(SnmfEnhancer(
+            cfg, speech.b_dft, noise.b_dft, speech.b_dft, noise.b_dft,
+            dtype=jnp.float32, block_adapt=48, frame_bucket=192,
+            block_iter_cap=40))
+        out["ms"] = run_e2e(MmseEnhancer(fs, dtype=jnp.float32))
+        out["imcra"] = run_e2e(OmlsaEnhancer(dtype=jnp.float32))
+        print(json.dumps(out))
+        return 0
     if args.latency:
         import jax.numpy as jnp
         from se_snmf_nat_tpu.config import default_config
@@ -882,6 +928,11 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--train-rate", action="store_true",
                    help="measure the basis-training inner solve "
                         "(full W+H SNMF) wall time and MU iterations/s")
+    b.add_argument("--campaign", action="store_true",
+                   help="end-to-end campaign-path throughput (wall time of "
+                        "enhance_batch INCLUDING host<->device transfers) "
+                        "for the SNMF/MS/IMCRA batch entries")
+    b.add_argument("--campaign-batch", type=int, default=64)
     b.set_defaults(fn=cmd_bench)
     return p
 
