@@ -123,6 +123,24 @@ def test_batch_runner_ms_no_cross_file_bleed(wav_db, tmp_path):
 
 
 @pytest.mark.slow
+def test_batch_runner_ms_batches_despite_carry_flag(wav_db, tmp_path):
+    """batch_size>1 engages the vmapped batch plan for enhancers without a
+    dictionary head even when carry_state=True (the CLI default for ms):
+    carry is a no-op for them, so batching is semantics-free throughput.
+    Outputs equal the one-shot per-file enhancement bit-for-bit."""
+    from se_snmf_nat_tpu.enhance.ms import MmseEnhancer
+    enh = MmseEnhancer(fs=FS, dtype=jnp.float64)
+    out = tmp_path / "out_ms_batch"
+    rep = BatchRunner(enh, carry_state=True, verbose=False).run(
+        wav_db, out, batch_size=3)
+    assert len(rep.processed) == 3
+    for f in sorted(wav_db.iterdir()):
+        x, fs = read_wav_int16(f)
+        got, _ = read_wav_int16(out / f"{f.stem}_enh.wav")
+        np.testing.assert_array_equal(got, enh.enhance(x))
+
+
+@pytest.mark.slow
 def test_batch_runner_snmf_carry_is_dictionary_only(small_enh, wav_db,
                                                     tmp_path):
     """Cross-file carry mirrors B_D_u exactly: file N+1 starts from a fresh
