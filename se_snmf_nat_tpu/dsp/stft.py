@@ -94,6 +94,12 @@ def pack_samples_for_upload(smp: np.ndarray, np_dtype=np.float32) -> np.ndarray:
     the compute dtype in-graph (int16 -> f32/f64 is exact, so outputs are
     bit-identical).  Non-integer or out-of-range inputs (synthetic floats)
     fall back to ``np_dtype``.
+
+    Compile-stability note: the wire dtype is a jit signature axis — a
+    batch entry sees ONE compilation per wire dtype it encounters.  Wav-fed
+    campaigns are always integer-valued (one executable); only mixing
+    synthetic float inputs into the same enhancer adds the one-time float
+    compilation.
     """
     if (np.all(smp == np.floor(smp))
             and smp.min() >= -32768 and smp.max() <= 32767):

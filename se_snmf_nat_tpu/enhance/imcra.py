@@ -387,5 +387,7 @@ class OmlsaEnhancer:
             jnp.asarray(pack_samples_for_upload(smp, np_dt)),
             jnp.asarray(ts, jnp.int32))
         fetched = np.asarray(pcm if quantize else ys)
-        return [fetched[i, : int(ts[i]) * p.mno + p.mo]
+        # copies: views would pin the whole padded batch buffer for as long
+        # as any single output lives
+        return [fetched[i, : int(ts[i]) * p.mno + p.mo].copy()
                 for i in range(len(xs))]

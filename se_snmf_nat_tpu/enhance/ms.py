@@ -316,7 +316,11 @@ class MmseEnhancer:
                 # inert placeholder state; its lane outputs are discarded
                 scan0s.append(self._scan0(np.zeros(nf), np.arange(nf)[None, :], 1))
                 continue
-            smp[i, : len(x)] = x
+            # samples past the last frame (ni*(nr-1)+nf) are never framed;
+            # drop them so a bucket-aligned longest utterance with a
+            # trailing partial hop still fits the buffer width
+            n_keep = min(len(x), smp.shape[1])
+            smp[i, : n_keep] = x[:n_keep]
             idx = ni * np.arange(nr)[:, None] + np.arange(nf)[None, :]
             scan0s.append(self._scan0(x, idx, nr))
         scan0_b = jax.tree.map(lambda *a: jnp.stack(a), *scan0s)
@@ -329,10 +333,12 @@ class MmseEnhancer:
         for i in range(len(xs)):
             nr = int(nrs[i])
             if nr == 0:
-                outs.append(np.zeros(0, fetched.dtype))
+                outs.append(np.zeros(0, np.int16 if quantize
+                                     else np.float64))
                 continue
             out = fetched[i, : ni * (nr + self._no - 1)]
-            outs.append(out if quantize else out.astype(np.float64))
+            # copy: a view would pin the whole padded batch buffer
+            outs.append(out.copy() if quantize else out.astype(np.float64))
         return outs
 
     def initial_state(self) -> MsStreamState:

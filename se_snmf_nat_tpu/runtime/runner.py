@@ -75,7 +75,8 @@ class BatchRunner:
         # runs one-shot per file (no reference-sanctioned cross-file state),
         # so batching them is semantics-free throughput.
         init0 = self.enhancer.initial_state() \
-            if hasattr(self.enhancer, "initial_state") else None
+            if (hasattr(self.enhancer, "initial_state")
+                and (batch_size > 1 or self.carry_state)) else None
         batchable = not self.carry_state or not hasattr(init0, "b_d_head")
         if batch_size > 1 and batchable \
                 and hasattr(self.enhancer, "enhance_batch"):
@@ -100,7 +101,7 @@ class BatchRunner:
             # dictionary head (MS/IMCRA) have no reference-sanctioned
             # cross-file state — threading their stream state would mix one
             # file's OLA tail into the next — so they run one-shot per file.
-            init = self.enhancer.initial_state() if self.carry_state else None
+            init = init0 if self.carry_state else None
             dict_carry = self.carry_state and hasattr(init, "b_d_head")
             state = init if dict_carry else None
             if dict_carry and self.state_path and self.state_path.exists():

@@ -192,3 +192,18 @@ def test_batch_noninteger_inputs_match_single(clip):
     a = x[: fs] + 0.25
     outs = enh.enhance_batch([a])
     np.testing.assert_array_equal(outs[0], enh.enhance(a))
+
+
+def test_batch_bucket_aligned_length_with_trailing_hop():
+    """Regression: the longest utterance's frame count an exact multiple of
+    frame_bucket PLUS trailing samples past the last frame used to overflow
+    the sample buffer (review finding).  nr=64=frame_bucket at ni=160,
+    nf=320 -> buffer 10400, len(x)=10401."""
+    enh = MmseEnhancer(16000, dtype=jnp.float64)
+    ni, nf = enh.d.ni, enh.d.nf
+    nr = enh.frame_bucket
+    n = ni * (nr - 1) + nf + 1
+    rng = np.random.default_rng(0)
+    x = np.round(rng.uniform(-1000, 1000, n))
+    outs = enh.enhance_batch([x])
+    np.testing.assert_array_equal(outs[0], enh.enhance(x))
