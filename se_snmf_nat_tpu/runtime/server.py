@@ -46,7 +46,7 @@ import numpy as np
 
 class _Lane:
     __slots__ = ("reader", "writer", "inbuf", "state", "hops_in",
-                 "sent", "eof", "task")
+                 "sent", "eof", "dead", "gen")
 
     def __init__(self):
         self.reader = None
@@ -59,7 +59,11 @@ class _Lane:
         self.hops_in = 0
         self.sent = 0
         self.eof = False
-        self.task = None
+        self.dead = False    # writer gone/too slow: tick skips its output
+        # tenancy generation: bumped on claim and on free, so a stale
+        # reader coroutine from a previous tenant can never inject bytes
+        # or EOF into the next tenant's stream
+        self.gen = 0
 
     @property
     def owed(self) -> int:
@@ -73,7 +77,8 @@ class EnhanceServer:
     def __init__(self, enhancer, n_lanes: int = 8, block_frames: int = 8,
                  use_block_adaptive: bool = False,
                  host: str = "127.0.0.1", port: int = 0,
-                 underrun_pad: bool = False, tick_deadline_s: float = 0.01):
+                 underrun_pad: bool = False, tick_deadline_s: float = 0.01,
+                 max_write_buffer: int = 1 << 20):
         from se_snmf_nat_tpu.stream.serving import MultiStreamSession
         self.session = MultiStreamSession(
             enhancer, n_lanes, block_frames=block_frames,
@@ -84,6 +89,7 @@ class EnhanceServer:
         self.lanes = [_Lane() for _ in range(n_lanes)]
         self.underrun_pad = underrun_pad
         self.tick_deadline_s = tick_deadline_s
+        self.max_write_buffer = max_write_buffer
         self._wake: asyncio.Event | None = None
         self._server = None
         self._tick_task = None
@@ -113,7 +119,8 @@ class EnhanceServer:
                 lane.writer.close()
 
     async def serve_forever(self):
-        await self.start()
+        if self._server is None:      # idempotent after start()
+            await self.start()
         async with self._server:
             await self._server.serve_forever()
 
@@ -127,11 +134,14 @@ class EnhanceServer:
             writer.close()
             return
         lane = self.lanes[idx]
+        lane.gen += 1
+        gen = lane.gen
         lane.reader, lane.writer = reader, writer
         lane.inbuf = bytearray()
         lane.hops_in = 0
         lane.sent = 0
         lane.eof = False
+        lane.dead = False
         lane.state = "pending"        # reset happens at a block boundary
         writer.write(json.dumps(
             {"lane": idx, "fs": self.session.enh.cfg.signal.fs,
@@ -141,17 +151,25 @@ class EnhanceServer:
         try:
             while True:
                 data = await reader.read(65536)
-                if not data:
+                if not data or lane.gen != gen:
                     break
-                lane.inbuf.extend(data)
+                if lane.state in ("pending", "active"):
+                    lane.inbuf.extend(data)
+                    self._wake.set()
+                # draining/done lanes no longer consume input: discard so
+                # a chatty half-closed client can't grow the buffer
+        except OSError:
+            pass                       # reset/abort/timeout — all mean EOF
+        finally:
+            # buffered full hops still play out; the drain (and the
+            # discard of a trailing partial hop — flush() hold semantics)
+            # starts once the buffer runs dry (_tick_once).  The finally
+            # guarantees EOF is recorded however the reader dies, so the
+            # lane can never wedge the lockstep fleet; the gen check keeps
+            # a stale handler from EOF-ing the NEXT tenant.
+            if lane.gen == gen:
+                lane.eof = True
                 self._wake.set()
-        except (ConnectionResetError, asyncio.CancelledError):
-            pass
-        # buffered full hops still play out; the drain (and the discard of
-        # a trailing partial hop — flush() hold semantics) starts once the
-        # buffer runs dry (_tick_once)
-        lane.eof = True
-        self._wake.set()
 
     # ------------------------------------------------------------------
     def _hop_bytes(self) -> int:
@@ -188,10 +206,25 @@ class EnhanceServer:
         if done or idxs:
             self.session.reset_lanes(done + idxs)
         for i in done:
-            self.lanes[i].state = "free"
-            self.lanes[i].reader = self.lanes[i].writer = None
+            ln = self.lanes[i]
+            ln.gen += 1               # detach any stale reader coroutine
+            ln.state = "free"
+            ln.reader = ln.writer = None
+            ln.dead = False
         for i in idxs:
             self.lanes[i].state = "active"
+
+    def _kill_lane(self, lane: _Lane) -> None:
+        """Stop serving a dead or too-slow client without stalling the
+        fleet: abort the transport (which also wakes its reader task into
+        EOF), mark the lane dead so ticks skip its writes, and let it
+        drain out on the lockstep clock so the lane frees normally."""
+        lane.dead = True
+        lane.eof = True
+        try:
+            lane.writer.transport.abort()
+        except Exception:
+            pass
 
     async def _tick_once(self):
         hb = self._hop_bytes()
@@ -209,7 +242,12 @@ class EnhanceServer:
                 if lane.eof:
                     lane.inbuf.clear()     # partial-hop discard (flush)
                     lane.state = "draining"
-                # else: underrun_pad tick — silence for the missed hop
+                else:
+                    # underrun_pad tick: the lane consumes a silence hop
+                    # ON ITS CLOCK, so the output budget advances with the
+                    # filler and the real-audio tail stays owed (and is
+                    # delivered at drain) instead of being cut off
+                    lane.hops_in += 1
             if lane.state == "draining":
                 drains.append(i)
         if drains:
@@ -224,21 +262,30 @@ class EnhanceServer:
                 continue
             budget = lane.owed * self.hop - lane.sent
             y = y[: max(budget, 0)]
-            if len(y):
-                lane.sent += len(y)
+            if not len(y):
+                continue
+            lane.sent += len(y)
+            if lane.dead:
+                continue
+            # write WITHOUT awaiting drain: one client that stops reading
+            # must not stall every other tenant's tick.  asyncio buffers
+            # the bytes; a reader lagging past max_write_buffer is cut off.
+            try:
                 lane.writer.write(y.astype("<i2").tobytes())
-                try:
-                    await lane.writer.drain()
-                except ConnectionResetError:
-                    lane.state = "draining"
+                if (lane.writer.transport.get_write_buffer_size()
+                        > self.max_write_buffer):
+                    self._kill_lane(lane)
+            except (OSError, RuntimeError):
+                self._kill_lane(lane)
         for i, lane in enumerate(self.lanes):
             if (lane.state == "draining"
                     and lane.sent >= lane.owed * self.hop):
-                try:
-                    lane.writer.write_eof()
-                except (OSError, RuntimeError):
-                    pass
-                lane.writer.close()
+                if not lane.dead:
+                    try:
+                        lane.writer.write_eof()
+                        lane.writer.close()
+                    except (OSError, RuntimeError):
+                        pass
                 lane.state = "done"
 
     async def _tick_loop(self):

@@ -219,11 +219,13 @@ class MultiStreamSession:
         returns the ``(B, m)`` finalized samples available so far.  Lanes
         whose clocks have diverged (after ``reset_lanes``) emit unequal
         lengths — use ``push_per_lane`` then."""
-        outs = self.push_per_lane(samples, quantize)
-        if len({len(o) for o in outs}) > 1:
+        # check BEFORE processing: raising after would lose this call's
+        # emitted audio with the engine state already advanced (equal lane
+        # clocks guarantee equal emission masks, hence equal lengths)
+        if np.unique(self._l).size > 1:
             raise ValueError("lane clocks diverged (reset_lanes was used); "
                              "call push_per_lane for ragged emission")
-        return np.stack(outs, axis=0)
+        return np.stack(self.push_per_lane(samples, quantize), axis=0)
 
     def push_per_lane(self, samples: np.ndarray,
                       quantize: bool = True) -> list[np.ndarray]:
@@ -244,6 +246,9 @@ class MultiStreamSession:
     def flush(self, quantize: bool = True) -> np.ndarray:
         """EOF on every lane: reference flush semantics (whole queue zeroed
         per flush frame — filewise_run_IS16.m:105-113), lockstep."""
+        if np.unique(self._l).size > 1:   # pre-check: see push()
+            raise ValueError("lane clocks diverged; drain lanes via "
+                             "zero_queue_rows + push_per_lane instead")
         s = self._s
         self._hold = np.zeros((self.n, 0))
         emitted = []
@@ -252,11 +257,7 @@ class MultiStreamSession:
             emitted.extend(self._process_hop(np.zeros((self.n,
                                                        s.frameshift))))
         emitted.extend(self._flush_pending())
-        outs = self._assemble(emitted, self.n, quantize)
-        if len({len(o) for o in outs}) > 1:
-            raise ValueError("lane clocks diverged; drain lanes via "
-                             "zero_queue_rows + push_per_lane instead")
-        return np.stack(outs, axis=0)
+        return np.stack(self._assemble(emitted, self.n, quantize), axis=0)
 
     # ----- multi-tenant lane lifecycle (runtime/server.py) -------------
     def zero_queue_rows(self, lanes) -> None:
@@ -273,6 +274,14 @@ class MultiStreamSession:
         if self._pending:
             raise RuntimeError("reset_lanes requires an empty pending "
                                "block (tick until the block flushes)")
+        if self._hold.shape[1]:
+            # the sample hold is fleet-wide (one column count for all
+            # lanes), so a single lane's hold cannot be emptied — and
+            # zero-filling it would prepend silence to the new tenant's
+            # stream, breaking the solo-StreamingSession equivalence
+            raise RuntimeError("reset_lanes requires an empty sample hold: "
+                               "push whole hop multiples (the server does) "
+                               "or drain the partial hop first")
         lanes = np.asarray(lanes, int)
         sel = np.zeros((self.n,), bool)
         sel[lanes] = True
@@ -287,6 +296,4 @@ class MultiStreamSession:
             self._ba_ptr = jnp.where(sel_dev, 0, self._ba_ptr)
         self._queue[lanes] = 0.0
         self._acc[lanes] = 0.0
-        if self._hold.shape[1]:
-            self._hold[lanes] = 0.0
         self._l[lanes] = 0

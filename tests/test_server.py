@@ -145,3 +145,103 @@ def test_block_mode_client_bitexact(enh):
 
     got = _run(go())
     np.testing.assert_array_equal(got, want.astype(np.int16))
+
+
+@pytest.mark.slow
+def test_abrupt_client_death_frees_fleet(enh):
+    """A client that RSTs mid-stream (no clean EOF) must not wedge the
+    lockstep fleet: its lane records EOF (reader finally — review finding),
+    drains, and frees, while a concurrent well-behaved client completes
+    bit-exactly."""
+    import socket
+    import struct
+    xa, xb = _signals(2, 4800, seed=17)
+    want_b = _reference_stream(enh, xb)
+
+    async def go():
+        srv = await EnhanceServer(enh, n_lanes=2, block_frames=1).start()
+        try:
+            async def rst_client():
+                reader, writer = await asyncio.open_connection(
+                    "127.0.0.1", srv.port)
+                await reader.readline()                   # header
+                pcm = np.asarray(xa[:800]).astype("<i2").tobytes()
+                writer.write(pcm)
+                await writer.drain()
+                await asyncio.sleep(0.05)
+                sock = writer.get_extra_info("socket")
+                sock.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                                struct.pack("ii", 1, 0))  # RST on close
+                writer.close()
+
+            good = asyncio.create_task(
+                enhance_over_socket("127.0.0.1", srv.port, xb, chunk=640))
+            await rst_client()
+            out_b = await good
+            for _ in range(500):                 # dead lane must free
+                if all(ln.state == "free" for ln in srv.lanes):
+                    break
+                await asyncio.sleep(0.01)
+            states = [ln.state for ln in srv.lanes]
+            return out_b, states
+        finally:
+            await srv.stop()
+
+    out_b, states = _run(asyncio.wait_for(go(), timeout=120))
+    np.testing.assert_array_equal(out_b, want_b.astype(np.int16))
+    assert states == ["free", "free"]
+
+
+@pytest.mark.slow
+def test_slow_reader_cut_off_not_stalling_fleet(enh):
+    """A client that keeps streaming audio but never reads its output must
+    not stall other tenants: the tick never awaits per-lane drain (review
+    finding), and the laggard is cut off once its write backlog passes
+    max_write_buffer.  The good client completes bit-exactly."""
+    import socket
+    x_good = _signals(1, 6400, seed=23)[0]
+    want = _reference_stream(enh, x_good)
+    rng = np.random.default_rng(29)
+
+    async def go():
+        srv = await EnhanceServer(enh, n_lanes=2, block_frames=1,
+                                  max_write_buffer=64).start()
+        try:
+            cut = asyncio.Event()
+
+            async def slow_client():
+                reader, writer = await asyncio.open_connection(
+                    "127.0.0.1", srv.port)
+                await reader.readline()
+                # shrink the SERVER-side send buffer for THIS lane (matched
+                # by peer address) so the unread output backs into the
+                # transport buffer quickly
+                me = writer.get_extra_info("sockname")
+                for ln in srv.lanes:
+                    if ln.writer is None:
+                        continue
+                    s = ln.writer.get_extra_info("socket")
+                    if s is not None and s.getpeername() == me:
+                        s.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 1)
+                        ln.writer.transport.set_write_buffer_limits(0, 0)
+                try:
+                    while True:       # feed forever, never read
+                        hop = np.round(
+                            rng.standard_normal(160) * 1000.0)
+                        writer.write(hop.astype("<i2").tobytes())
+                        await writer.drain()
+                        await asyncio.sleep(0)
+                except (ConnectionResetError, BrokenPipeError, OSError):
+                    cut.set()         # server aborted us — expected
+
+            slow_task = asyncio.create_task(slow_client())
+            out = await enhance_over_socket(
+                "127.0.0.1", srv.port, x_good, chunk=640)
+            await asyncio.wait_for(cut.wait(), timeout=60)
+            slow_task.cancel()
+            return out
+        finally:
+            await srv.stop()
+
+    out = _run(asyncio.wait_for(go(), timeout=120))
+    np.testing.assert_array_equal(out, want.astype(np.int16))

@@ -126,3 +126,34 @@ def test_fleet_mesh_divisibility_check(enh):
     mesh = make_mesh(devices=jax.devices()[:4], shape=(4, 1))
     with pytest.raises(ValueError):
         MultiStreamSession(enh, 3, mesh=mesh)
+
+
+def test_push_diverged_raises_before_mutation(enh):
+    """Clock-divergence check runs BEFORE processing (review finding): the
+    raising push consumes nothing, so push_per_lane afterwards produces
+    exactly what it would have without the failed call."""
+    s = enh.cfg.signal
+    rng = np.random.default_rng(3)
+    hops = np.round(rng.standard_normal((2, s.frameshift)) * 1000.0)
+    fleet = MultiStreamSession(enh, 2)
+    fleet.push(hops)
+    fleet.reset_lanes([0])                     # lane clocks now diverge
+    want = MultiStreamSession(enh, 2)
+    want.push(hops)
+    want.reset_lanes([0])
+    with pytest.raises(ValueError, match="diverged"):
+        fleet.push(hops)
+    got = fleet.push_per_lane(hops)            # state untouched by the raise
+    ref = want.push_per_lane(hops)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(g, r)
+
+
+def test_reset_lanes_rejects_partial_hold(enh):
+    """A fleet-wide sample hold cannot be reset per lane; zero-filling it
+    would prepend silence to the new tenant (review finding) — reject."""
+    s = enh.cfg.signal
+    fleet = MultiStreamSession(enh, 2)
+    fleet.push(np.ones((2, s.frameshift + 3)))   # leaves a 3-sample hold
+    with pytest.raises(RuntimeError, match="hold"):
+        fleet.reset_lanes([0])
