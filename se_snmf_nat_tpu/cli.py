@@ -34,12 +34,16 @@ def _jnp_dtype(name: str):
 
 
 def _load_bases(args, cfg):
+    """Custom bases are per-side: either flag alone overrides that side,
+    the other side falls back to the reference dictionary (previously a
+    lone --speech-basis was silently ignored — review finding)."""
     from se_snmf_nat_tpu.io.basis import load_basis, load_reference_speech_noise
-    if args.speech_basis and args.noise_basis:
+    speech, noise = load_reference_speech_noise(cfg.sep.r_d)
+    if args.speech_basis:
         speech = load_basis(args.speech_basis)
+    if args.noise_basis:
         noise = load_basis(args.noise_basis).tiled_to_rank(cfg.sep.r_d)
-        return speech, noise
-    return load_reference_speech_noise(cfg.sep.r_d)
+    return speech, noise
 
 
 def _build_enhancer(args):
@@ -212,15 +216,27 @@ def cmd_campaign(args) -> int:
     noise = noise.tiled_to_rank(cfg.sep.r_d)
 
     if args.dnmf:
+        # refit in the SEPARATION domain (run_basis_DNMF.m vs _Mel.m): a
+        # Mel-mode preset separates on b_mel, so the discriminative refit
+        # must land there, not only on the DFT reconstruction basis
         from se_snmf_nat_tpu.train.dnmf import dnmf_refit
         from se_snmf_nat_tpu.io.wavio import read_wav_int16
         xs, _ = read_wav_int16(sorted(Path(args.speech_db).glob("*.wav"))[0])
         ds, _ = read_wav_int16(sorted(Path(args.noise_db).glob("*.wav"))[0])
-        b = np.concatenate([speech.b_dft[:, : cfg.sep.r_x],
-                            noise.b_dft[:, : cfg.sep.r_d]], axis=1)
-        b_hat = dnmf_refit(xs, ds, b, cfg, dtype=dtype)
-        speech = BasisPair(b_dft=b_hat[:, : cfg.sep.r_x], b_mel=speech.b_mel)
-        noise = BasisPair(b_dft=b_hat[:, cfg.sep.r_x:], b_mel=noise.b_mel)
+        mel_mode = cfg.sep.b_sep_mode == "Mel"
+        sx = speech.b_mel if mel_mode else speech.b_dft
+        sd = noise.b_mel if mel_mode else noise.b_dft
+        b = np.concatenate([sx[:, : cfg.sep.r_x], sd[:, : cfg.sep.r_d]],
+                           axis=1)
+        b_hat = dnmf_refit(xs, ds, b, cfg,
+                           domain="Mel" if mel_mode else "DFT", dtype=dtype)
+        bx_hat, bd_hat = b_hat[:, : cfg.sep.r_x], b_hat[:, cfg.sep.r_x:]
+        if mel_mode:
+            speech = BasisPair(b_dft=speech.b_dft, b_mel=bx_hat)
+            noise = BasisPair(b_dft=noise.b_dft, b_mel=bd_hat)
+        else:
+            speech = BasisPair(b_dft=bx_hat, b_mel=speech.b_mel)
+            noise = BasisPair(b_dft=bd_hat, b_mel=noise.b_mel)
 
     if cfg.sep.b_sep_mode == "Mel":
         b1x, b1d = speech.b_mel, noise.b_mel
@@ -232,19 +248,31 @@ def cmd_campaign(args) -> int:
 
     out_root = Path(args.out_root)
     results = {}
+    # unique per-target output keys: duplicate basenames (condA/test,
+    # condB/test) previously collided on the output dir, the B_D_u state
+    # file AND the results dict — condB's files were silently skip-if-exist
+    from collections import Counter
+    base_counts = Counter(Path(t).name for t in args.targets)
+
+    def _key(t: Path) -> str:
+        if base_counts[t.name] == 1:
+            return t.name
+        return "_".join(p for p in t.parts if p not in ("/", "\\", "..", "."))
+
     for target in args.targets:
         target = Path(target)
-        state_file = out_root / f"B_D_u_{target.name}.npz"
+        name = _key(target)
+        state_file = out_root / f"B_D_u_{name}.npz"
         if state_file.exists():
             state_file.unlink()          # per-condition reset (driver :193)
         runner = BatchRunner(enh, carry_state=not args.no_carry,
                              force_rewrite=args.force,
                              state_path=state_file)
-        rep = runner.run(target, out_root / target.name,
+        rep = runner.run(target, out_root / name,
                          batch_size=args.batch_size)
-        results[target.name] = {"processed": len(rep.processed),
-                                "skipped": len(rep.skipped),
-                                "rt_factor": round(rep.realtime_factor, 1)}
+        results[name] = {"processed": len(rep.processed),
+                         "skipped": len(rep.skipped),
+                         "rt_factor": round(rep.realtime_factor, 1)}
     print(json.dumps(results))
     return 0
 
@@ -295,22 +323,42 @@ def cmd_demo(args) -> int:
                 np.asarray(y, np.int16).astype("<i2").tobytes())
             sys.stdout.buffer.flush()
 
-    in_hops = []
-    outs = []
-    lat = []
+    # retain full waveforms only when something at session end needs them
+    # (wav write / plots / ascii spectrogram, or a finite file input whose
+    # length is known-bounded).  An indefinite live mic session otherwise
+    # runs in O(1) memory: RMS comes from running aggregates, latency from
+    # a bounded deque.
+    from collections import deque
+    retain = bool(args.output or args.viz_dir or args.ascii_spec) or not live
+    in_hops: list[np.ndarray] = []
+    outs: list[np.ndarray] = []
+    lat: deque = deque(maxlen=1_000_000)
+    agg = {"in_sq": 0.0, "in_n": 0, "out_sq": 0.0, "out_n": 0}
+
+    def account(chunk, y):
+        a = np.asarray(chunk, np.float64)
+        agg["in_sq"] += float((a * a).sum())
+        agg["in_n"] += a.size
+        if y is not None and len(y):
+            b = np.asarray(y, np.float64)
+            agg["out_sq"] += float((b * b).sum())
+            agg["out_n"] += b.size
+            if retain:
+                outs.append(y)
+        if retain:
+            in_hops.append(np.asarray(chunk))
+
     basis_snaps, snap_hops = [], []
     if mode == "ms":
         from se_snmf_nat_tpu.enhance.ms import MmseEnhancer
         enh = MmseEnhancer(fs, dtype=_jnp_dtype(args.dtype))
         st = None
         for chunk in hop_source():
-            in_hops.append(np.asarray(chunk))
             t0 = time.perf_counter()
             y, st = enh.enhance(chunk, state=st, return_state=True)
             lat.append(time.perf_counter() - t0)
-            if len(y):
-                outs.append(y)
-                emit(y)
+            account(chunk, y)
+            emit(y)
         out = np.concatenate(outs) if outs else np.zeros(0, np.int16)
     elif mode == "bnmf":
         # the third algorithm family live (proc_BNMF_nmoh.m's frame loop
@@ -328,17 +376,14 @@ def cmd_demo(args) -> int:
                            dtype=_jnp_dtype(args.dtype))
         sess = BnmfStreamingSession(enh, block_frames=max(args.block, 1))
         for chunk in hop_source():
-            in_hops.append(np.asarray(chunk))
             t0 = time.perf_counter()
             y = sess.push(chunk)
             lat.append(time.perf_counter() - t0)
-            if len(y):
-                outs.append(y)
-                emit(y)
+            account(chunk, y)
+            emit(y)
         tail = sess.flush()
-        if len(tail):
-            outs.append(tail)
-            emit(tail)
+        account(np.zeros(0), tail)
+        emit(tail)
         out = np.concatenate(outs) if outs else np.zeros(0, np.int16)
     else:
         from se_snmf_nat_tpu.config import preset
@@ -346,7 +391,11 @@ def cmd_demo(args) -> int:
         from se_snmf_nat_tpu.stream.streaming import StreamingSession
         from dataclasses import replace
         args.algorithm = "snmf"
-        args.preset = args.preset if mode == "snmf" else "snmf"
+        if mode == "snmf-fixed" and args.preset == "snmf_nat":
+            # default: the reference's fixed-basis baseline config; an
+            # explicit --preset is respected (run with adaptation off)
+            # rather than silently replaced (review finding)
+            args.preset = "snmf"
         cfg = preset(args.preset)
         if mode == "snmf-fixed":
             cfg = cfg.evolve(adapt=replace(cfg.adapt, adapt_train_n=False))
@@ -355,20 +404,19 @@ def cmd_demo(args) -> int:
                            noise.b_dft, dtype=_jnp_dtype(args.dtype))
         sess = StreamingSession(enh, block_frames=args.block)
         sess.push(np.zeros(hop * args.block))  # warm the jit before timing
-        sess = StreamingSession(enh, block_frames=args.block)
+        sess.reset()   # same compiled programs, fresh t=0 state (a NEW
+        #                session would re-trace its per-instance closures)
         # basis-evolution snapshots (the SE_GUI.m:466-479 plot refresh role)
         snap_every = 100 if live else max(
             (len(x_file) - hop) // hop // 4, 1)
         basis_snaps = [np.asarray(sess.state.b_d_head)]
         snap_hops = [0]
         for h_idx, chunk in enumerate(hop_source()):
-            in_hops.append(np.asarray(chunk))
             t0 = time.perf_counter()
             y = sess.push(chunk)
             lat.append(time.perf_counter() - t0)
-            if len(y):
-                outs.append(y)
-                emit(y)
+            account(chunk, y)
+            emit(y)
             if args.viz_dir and h_idx > 0 and h_idx % snap_every == 0:
                 basis_snaps.append(np.asarray(sess.state.b_d_head))
                 snap_hops.append(h_idx)
@@ -380,9 +428,9 @@ def cmd_demo(args) -> int:
                       f"out {rms_out:7.0f}  {lat[-1] * 1e3:6.2f} ms",
                       file=report_stream)
         tail = sess.flush()
-        outs.append(tail)
+        account(np.zeros(0), tail)
         emit(tail)
-        out = np.concatenate(outs)
+        out = np.concatenate(outs) if outs else np.zeros(0, np.int16)
     if not lat:
         print(json.dumps({"mode": mode, "hops": 0}), file=report_stream)
         return 0
@@ -424,8 +472,10 @@ def cmd_demo(args) -> int:
                            "amortized_steady": round(amortized, 2),
                            "max": round(float(lat_ms.max()), 2)},
         "realtime": bool(amortized < 10.0),
-        "rms_in": round(float(np.sqrt((x.astype(float) ** 2).mean())), 1),
-        "rms_out": round(float(np.sqrt((out.astype(float) ** 2).mean())), 1),
+        "rms_in": round(float(np.sqrt(agg["in_sq"]
+                                      / max(agg["in_n"], 1))), 1),
+        "rms_out": round(float(np.sqrt(agg["out_sq"]
+                                       / max(agg["out_n"], 1))), 1),
     }), file=report_stream)
     return 0
 

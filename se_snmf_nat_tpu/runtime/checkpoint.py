@@ -24,11 +24,21 @@ import jax.numpy as jnp
 from se_snmf_nat_tpu.enhance.state import EngineState
 
 
+def _np_savable(a) -> np.ndarray:
+    """np.savez has no bfloat16: it degrades to void '|V2' and neither load
+    path can read it back.  Store bf16 fields as float32 (exact; the load
+    paths cast to the requested dtype anyway)."""
+    a = np.asarray(a)
+    if a.dtype.kind == "V":   # ml_dtypes.bfloat16 registers as void
+        a = a.astype(np.float32)
+    return a
+
+
 def save_engine_state(path: str | Path, state: EngineState) -> None:
     path = Path(path)
     tmp = path.with_name(path.stem + ".tmp.npz")  # savez appends .npz
     np.savez_compressed(
-        tmp, **{f: np.asarray(getattr(state, f)) for f in state._fields})
+        tmp, **{f: _np_savable(getattr(state, f)) for f in state._fields})
     os.replace(tmp, path)
 
 
@@ -49,7 +59,7 @@ def save_adapted_dictionary(path: str | Path, state: EngineState) -> None:
     (what the reference saves, NTF_sep_event_RT.m:136-139)."""
     path = Path(path)
     tmp = path.with_name(path.stem + ".tmp.npz")  # savez appends .npz
-    np.savez_compressed(tmp, b_d_head=np.asarray(state.b_d_head))
+    np.savez_compressed(tmp, b_d_head=_np_savable(state.b_d_head))
     os.replace(tmp, path)
 
 

@@ -82,13 +82,15 @@ class BatchRunner:
                 and hasattr(self.enhancer, "enhance_batch"):
             for i in range(0, len(todo), batch_size):
                 chunk = todo[i: i + batch_size]
-                xs = []
+                xs, rates = [], []
                 for f in chunk:
                     x, fs = read_wav_int16(f)
                     xs.append(x)
+                    rates.append(fs)    # per-file: mixed-rate dirs must not
+                    #                     inherit a chunk-mate's rate
                     report.seconds_audio += len(x) / fs
                 outs = self.enhancer.enhance_batch(xs)
-                for f, y in zip(chunk, outs):
+                for f, y, fs in zip(chunk, outs, rates):
                     write_wav_int16(self._out_path(f, db_out), y, fs)
                     report.processed.append(f.name)
                     if self.verbose:

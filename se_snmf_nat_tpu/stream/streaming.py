@@ -109,6 +109,25 @@ class StreamingSession:
             self._ba_ptr = ring_ptr0()
             self._rings_to_shift = jax.jit(rings_to_shift_layout)
 
+    def reset(self, state=None) -> None:
+        """Return the session to t=0 for a new stream REUSING this
+        instance's compiled programs (the jitted closures are
+        per-instance, so constructing a new session re-traces and
+        re-compiles — 1-3 min on TPU): engine state, frame queue, OLA
+        accumulator, hold, pending block and the l clock all restart.
+        A warmed-then-reset session is bit-identical to a fresh one."""
+        s = self._s
+        self._queue = np.zeros(s.framelength)
+        self._hold = np.zeros(0)
+        self._acc = np.zeros(s.framelength)
+        self._l = 0
+        self._pending = []
+        self.state = state if state is not None else \
+            self.enh.initial_state()
+        if self._run_block_fast is not None:
+            from se_snmf_nat_tpu.stream.block_adaptive import ring_ptr0
+            self._ba_ptr = ring_ptr0()
+
     def _flush_pending(self) -> list[np.ndarray]:
         """Run the queued frames through one jitted scan; returns emitted
         hop chunks."""

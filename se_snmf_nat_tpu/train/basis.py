@@ -15,7 +15,7 @@ Pipeline per event class (run_basis_train.m:11-136):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from pathlib import Path
 
 import numpy as np
@@ -127,12 +127,29 @@ def train_event_basis_cached(
     """
     basis_dir = Path(basis_dir)
     ckpt = basis_dir / f"R_{r}.npz"
+    # The cache key is rank-only, exactly like the reference's
+    # R_<R>.mat inside a per-config directory (run_basis_train.m:11-12 —
+    # the settings are encoded in basis_dir's name by the caller).  A
+    # sidecar records the options so a hit under DIFFERENT options warns
+    # instead of silently returning a stale dictionary.
+    import json as _json
+    opts = {"vad": bool(vad), "dc_freq": dc_freq}
+    sidecar = basis_dir / f"R_{r}.opts.json"
     if ckpt.exists() and not force_retrain:
+        if sidecar.exists():
+            stale = _json.loads(sidecar.read_text())
+            if {k: stale.get(k) for k in ("vad", "dc_freq")} != opts:
+                import warnings
+                warnings.warn(
+                    f"{ckpt}: cache hit with different training options "
+                    f"(cached {stale}, requested vad={vad} "
+                    f"dc_freq={dc_freq}); pass force_retrain/--force to "
+                    f"retrain", stacklevel=2)
         return load_basis(ckpt)
 
     sig = cfg.signal
-    dc_bin = (sig.dc_bin if dc_freq is None
-              else int(np.floor(dc_freq / (sig.fs / sig.fftlength) + 0.5)))
+    dc_bin = (sig.dc_bin if dc_freq is None else
+              replace(sig, dc_freq=dc_freq).dc_bin)
     seq, _spec = build_training_sequence(db_path, cfg, vad=vad,
                                          rng=shuffle_rng)
     feats = training_features(seq, cfg, dc_bin=dc_bin)
@@ -140,6 +157,7 @@ def train_event_basis_cached(
 
     basis_dir.mkdir(parents=True, exist_ok=True)
     save_basis(ckpt, result.basis)
+    sidecar.write_text(_json.dumps(opts))
     if save_sequence:
         from se_snmf_nat_tpu.io.wavio import write_enhanced_wav
         write_enhanced_wav(basis_dir / "train_seq.wav", seq, sig.fs)

@@ -375,3 +375,19 @@ def test_measure_hop_latency_mechanics(small_enh):
     assert rep["n_frames"] > 0
     assert rep["dispatch_overhead_ms"] == pytest.approx(
         rep["singlehop_wall_ms"] - rep["device_ms_per_hop"], abs=0.02)
+
+
+def test_bfloat16_checkpoint_roundtrip(small_enh, tmp_path):
+    """np.savez degrades bf16 to void '|V2' which neither load path could
+    read back (review finding): bf16 fields store as f32 and load clean."""
+    from se_snmf_nat_tpu.runtime.checkpoint import (
+        load_adapted_dictionary, save_adapted_dictionary)
+    state = small_enh.initial_state()
+    bf16_state = state._replace(
+        b_d_head=jnp.asarray(state.b_d_head, jnp.bfloat16))
+    p = tmp_path / "bd16.npz"
+    save_adapted_dictionary(p, bf16_state)
+    out = load_adapted_dictionary(p, state, jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(out.b_d_head, np.float32),
+        np.asarray(bf16_state.b_d_head, np.float32))
