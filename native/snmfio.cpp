@@ -148,7 +148,10 @@ int wav_read_int16(const char* path, double* out) {
     fseek(f, (long)off, SEEK_SET);
     const int64_t CH = 1 << 16;
     int16_t buf[CH];
-    int64_t total = bytes / 2, done = 0;
+    // bound by what wav_info reported (floor-divided by channels): a data
+    // chunk whose byte size is not a multiple of 2*channels must not write
+    // past the caller's n_samples*channels buffer
+    int64_t total = info.n_samples * info.channels, done = 0;
     while (done < total) {
         int64_t take = total - done < CH ? total - done : CH;
         size_t got = fread(buf, 2, (size_t)take, f);

@@ -51,7 +51,6 @@ branch :62-81).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np
@@ -84,6 +83,7 @@ class BnmfParams(NamedTuple):
     min_noise_shape: float = 200.0  # adjust_ShapeparamBasis (:104)
     n_infer: int = 25               # per-frame VB iterations (class
                                     # internal; free choice)
+    k_noise_supervised: int = 100   # num_noise_basis = p.R_d (:68)
     buffer_len: int = 50            # noise buffer columns (:89)
     refit_every: int = 10           # pushes between refits (free: the
                                     # wrapper's +10 counter)
@@ -213,6 +213,13 @@ class BnmfEnhancer:
                  params: BnmfParams | None = None,
                  dtype=jnp.float32, seed: int = 0):
         self.p = params or BnmfParams()
+        if self.p.alen != 2 * self.p.ulen:
+            # _frame/_ola implement exactly the reference's 50%-overlap
+            # sqrt-Hann chain (proc_BNMF_nmoh.m:23); other ratios would
+            # silently mis-frame, so reject them up front
+            raise ValueError(
+                f"BnmfParams requires alen == 2*ulen "
+                f"(got alen={self.p.alen}, ulen={self.p.ulen})")
         self.dtype = dtype
         self.method = method
         if model is None:
@@ -228,7 +235,10 @@ class BnmfEnhancer:
             noise = np.asarray(noise, np.float64)
             noise = noise / _safe_std(noise)
             spect = spectrogram(noise, p)
-            w0, h0, b0w, b0h = init_train(spect, p.k_noise, seed=seed + 1)
+            # supervised noise rank is R_d-scale (num_noise_basis = p.R_d,
+            # proc_BNMF_nmoh.m:68), NOT the online path's 15-atom model
+            w0, h0, b0w, b0h = init_train(spect, p.k_noise_supervised,
+                                          seed=seed + 1)
             w, h, _ = vb_train(
                 jnp.asarray(spect, dtype), jnp.asarray(w0, dtype),
                 jnp.asarray(h0, dtype), b0w, b0h, n_iter=p.train_iters)
@@ -245,7 +255,6 @@ class BnmfEnhancer:
         lw_s = ws.explog().astype(dt)
         ew_s = ws.mean.astype(dt)
         ews_colsum = jnp.sum(ew_s, 0)[:, None]
-        u_s0 = self.model.u0.astype(dt)
         k_s = lw_s.shape[1]
         k_n = p.k_noise
         phi = jnp.concatenate([jnp.zeros((k_s, 1), dt),
@@ -263,12 +272,7 @@ class BnmfEnhancer:
                           jnp.maximum(u, _FLR) / jnp.maximum(phi, 1.0))
 
             def it(h, _):
-                lh = h.explog()
-                lam = jnp.maximum(lw @ lh, _FLR)
-                sh = lh * (lw.T @ (y / lam))
-                shape = jnp.maximum(phi + sh, 1e-12)
-                scale = 1.0 / (inv_rate + ew_colsum)
-                return GammaPost(shape, scale), None
+                return _h_block(y, lw, ew_colsum, h, phi, inv_rate), None
 
             h, _ = jax.lax.scan(it, h, None, length=p.n_infer)
             eh = h.mean
@@ -477,14 +481,21 @@ class BnmfEnhancer:
             jnp.concatenate([self.model.w.scale,
                              self.noise_model.w.scale], 1).astype(dt))
         t = y.shape[1]
+        k_n = self.noise_model.w.mean.shape[1]   # k_noise_supervised
+        # bucket the frame axis so mixed-length files share one compiled
+        # executable (columns are independent in the H inference; padded
+        # columns are trimmed after) — same plan as the online path
+        t_pad = -(-t // 128) * 128
+        if t_pad != t:
+            y = jnp.pad(y, ((0, 0), (0, t_pad - t)), constant_values=1.0)
         u = jnp.concatenate(
-            [jnp.broadcast_to(self.model.u0, (k_s, t)),
-             jnp.broadcast_to(self.noise_model.u0, (p.k_noise, t))])
+            [jnp.broadcast_to(self.model.u0, (k_s, t_pad)),
+             jnp.broadcast_to(self.noise_model.u0, (k_n, t_pad))])
         phi = jnp.concatenate(
             [jnp.zeros((k_s, 1), dt),
-             jnp.full((p.k_noise, 1), 10.0, dt)])       # a_noise=10 (:67)
+             jnp.full((k_n, 1), 10.0, dt)])             # a_noise=10 (:67)
         h = vb_h_infer(y, w, u.astype(dt), phi, n_iter=p.n_infer)
-        eh = h.mean
+        eh = h.mean[:, :t]
         lam_s = w.mean[:, :k_s] @ eh[:k_s]
         lam_n = w.mean[:, k_s:] @ eh[k_s:]
         gain = np.asarray(lam_s / jnp.maximum(lam_s + lam_n, _FLR),

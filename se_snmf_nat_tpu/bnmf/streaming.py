@@ -149,6 +149,18 @@ class BnmfStreamingSession:
         from se_snmf_nat_tpu.io.wavio import enhanced_quantize
         p = self._p
         outs = []
+        if not self._finished and self._carry is None and self._head_n:
+            # total input shorter than the init head: train the noise
+            # init on whatever arrived, exactly like offline enhance on
+            # the same samples (previously this audio was silently
+            # dropped — review finding)
+            head = np.concatenate(self._head)
+            self._head = []
+            self._sigma = self.enh.head_sigma(head)
+            self._carry = self.enh.init_online_carry(
+                head[: p.init_hops * p.ulen])
+            self._fq = head
+            outs.extend(self._drain_frames())
         if self._carry is not None and not self._finished:
             outs.extend(self._flush_pending())    # partial block, masked
             outs.append(self._acc[: p.ulen] * self._sigma)

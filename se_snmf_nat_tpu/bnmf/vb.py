@@ -64,8 +64,7 @@ class GammaPost(NamedTuple):
         return xp.exp(digamma(self.shape, xp=xp)) * self.scale
 
 
-def init_train(x: np.ndarray, k: int, seed: int = 0,
-               a_w: float = 1.0, a_h: float = 1.0):
+def init_train(x: np.ndarray, k: int, seed: int = 0):
     """Deterministic host-side initialization for vb_train.
 
     Prior means are set from the data scale so E[Lam] matches mean(X)

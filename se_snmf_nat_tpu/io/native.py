@@ -128,6 +128,9 @@ def read_wav_int16(path) -> tuple[np.ndarray, int]:
     n = ctypes.c_int64()
     rc = lib.wav_info(str(path).encode(), ctypes.byref(fs), ctypes.byref(ch),
                       ctypes.byref(n))
+    if rc == 2:   # unsupported format: same exception type as the pure-
+        #           Python fallback so callers can catch one class
+        raise ValueError(f"{path}: expected 16-bit PCM")
     if rc:
         raise OSError(f"wav_info({path}) failed rc={rc}")
     out = np.empty(n.value * ch.value, np.float64)

@@ -29,6 +29,8 @@ def segmental_snr(ref: np.ndarray, deg: np.ndarray, fs: int,
     fl = int(frame_ms * fs / 1000)
     rf = _frames(ref, fl, fl // 2)
     df = _frames(deg, fl, fl // 2)
+    if rf.shape[0] == 0:          # shorter than one frame: undefined
+        return float("nan")
     e_ref = np.sum(rf * rf, axis=1)
     e_err = np.sum((rf - df) ** 2, axis=1)
     keep = e_ref > 1e-8 * e_ref.max()
@@ -43,6 +45,8 @@ def log_spectral_distance(ref: np.ndarray, deg: np.ndarray, fs: int,
     ref, deg = np.asarray(ref, float)[:n], np.asarray(deg, float)[:n]
     hop = nfft // 2
     win = np.hanning(nfft)
+    if len(ref) < nfft:           # shorter than one frame: undefined
+        return float("nan")
     rf = np.abs(np.fft.rfft(_frames(ref, nfft, hop) * win, axis=1)) ** 2
     df = np.abs(np.fft.rfft(_frames(deg, nfft, hop) * win, axis=1)) ** 2
     e = rf.sum(axis=1)
@@ -124,9 +128,12 @@ def stoi(ref: np.ndarray, deg: np.ndarray, fs: int) -> float:
 
 
 def quality_report(ref: np.ndarray, deg: np.ndarray, fs: int) -> dict:
+    def _safe(v: float):
+        return None if np.isnan(v) else round(v, 2)   # JSON-clean
+
     out = {
-        "seg_snr_db": round(segmental_snr(ref, deg, fs), 2),
-        "lsd_db": round(log_spectral_distance(ref, deg, fs), 2),
+        "seg_snr_db": _safe(segmental_snr(ref, deg, fs)),
+        "lsd_db": _safe(log_spectral_distance(ref, deg, fs)),
     }
     try:
         out["stoi"] = round(stoi(ref, deg, fs), 4)

@@ -220,3 +220,26 @@ def test_streaming_flush_idempotent():
     assert sess.flush(quantize=False).shape == (0,)
     with pytest.raises(RuntimeError):
         sess.push(mix[:100])
+
+
+@pytest.mark.slow
+def test_streaming_short_input_matches_offline():
+    """Input shorter than the init head must still produce the offline
+    pipeline's output at flush (previously silently dropped — review
+    finding)."""
+    from se_snmf_nat_tpu.bnmf import BnmfStreamingSession
+    speech, _, mix, _ = _speech_noise_mix(seconds=1.5)
+    enh = BnmfEnhancer(speech=speech, params=_SMALL, dtype=jnp.float64)
+    short = mix[: _SMALL.init_hops * _SMALL.ulen - 100]
+    want = enh.enhance(short, quantize=False)
+    sess = BnmfStreamingSession(enh, block_frames=4)
+    got = np.concatenate([sess.push(short, quantize=False),
+                          sess.flush(quantize=False)])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+
+def test_params_reject_bad_frame_ratio():
+    with pytest.raises(ValueError, match="alen"):
+        BnmfEnhancer(speech=np.ones(4000),
+                     params=_SMALL._replace(alen=512, ulen=128))

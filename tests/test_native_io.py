@@ -71,3 +71,23 @@ def test_enhanced_write_chain(tmp_path):
     native.write_enhanced_wav(p, y, 16000)
     got, _ = native.read_wav_int16(p)
     np.testing.assert_array_equal(got.astype(np.int16), enhanced_quantize(y))
+
+
+def test_malformed_multichannel_data_chunk_no_overflow(tmp_path):
+    """A stereo wav whose data-chunk byte size is not a multiple of
+    2*channels must not write past the n_samples*channels buffer
+    (review finding: heap overflow in the native reader)."""
+    import struct
+    p = tmp_path / "bad.wav"
+    data = struct.pack("<3h", 100, -200, 300)       # 6 bytes, ch=2 -> 1 frame
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 16000,
+                                   64000, 4, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    p.write_bytes(hdr + data)
+    from se_snmf_nat_tpu.io import native
+    if native._load() is None:
+        pytest.skip("native lib unavailable")
+    x, fs = native.read_wav_int16(p)
+    assert fs == 16000 and x.shape == (2, 1)
+    np.testing.assert_array_equal(x, [[100.0], [-200.0]])
