@@ -16,7 +16,6 @@ associative scan.  Both reproduce the MATLAB output exactly.
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 import jax
@@ -52,9 +51,8 @@ def block_sparsity_stat(r_ring: jnp.ndarray, l: jnp.ndarray, *, n_bins: int,
 
     # Row stats and inclusive cumsums with a zero prepended: window sums for
     # 1-based center k cover rows k-half+1..k+half == cs[k+half] - cs[k-half].
-    r_new = r_ring
-    rs = jnp.sum(r_new, axis=1)
-    rq = jnp.sum(r_new * r_new, axis=1)
+    rs = jnp.sum(r_ring, axis=1)
+    rq = jnp.sum(r_ring * r_ring, axis=1)
     cs1 = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(rs)])
     cs2 = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(rq)])
 

@@ -23,7 +23,6 @@ SE_GUI.m:401 vs filewise_run_IS16.m:142) is kept.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import numpy as np

@@ -22,7 +22,6 @@ scan against it bit-for-bit in x64.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np

@@ -359,7 +359,9 @@ class MmseEnhancer:
         nr = (len(s) - nf + ni) // ni if len(s) >= nf else 0
         tail = ni * (self._no - 1)
         if nr == 0:
-            out = np.zeros(0)
+            # dtype follows quantize even for empty output, matching the
+            # non-empty paths and enhance_batch
+            out = np.zeros(0, np.int16) if quantize else np.zeros(0)
             new_state = MsStreamState(scan=st.scan, ssv=st.ssv, si=s)
             if return_state:
                 return out, new_state

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from se_snmf_nat_tpu.nmf.solver import (
-    SnmfParams, _divergence, _h_step, _w_step, normalize_columns)
+    SnmfParams, _divergence, _dot, _h_step, _w_step, normalize_columns)
 
 
 class MdiResult(NamedTuple):
@@ -55,18 +55,18 @@ def snmf_mdi_solve(v: jnp.ndarray, mask: jnp.ndarray, w0: jnp.ndarray,
     v = jnp.maximum(v * keep, flr)              # masked init (:175)
     w, wn = normalize_columns(w0)
     h = h0 * wn[:, None]
-    lamb = jnp.maximum(_dotp(w, h, prec), flr)
+    lamb = jnp.maximum(_dot(w, h, prec), flr)
 
     def body(carry):
         it, v, w, h, lamb, last_cost, _ = carry
         if update_h:
             h = _h_step(v, w, h, lamb, sparsity, beta, flr, h_mask, prec)
-            lamb = jnp.maximum(_dotp(w, h, prec), flr)
+            lamb = jnp.maximum(_dot(w, h, prec), flr)
         if update_w:
             w = _w_step(v, w, h, lamb, beta, flr, w_mask, prec)
-            lamb = jnp.maximum(_dotp(w, h, prec), flr)
-        v_est = jnp.maximum(_dotp(w, h, prec), flr)
-        v = jnp.maximum(v * keep + v_est * miss, flr)   # imputation (:251-254)
+            lamb = jnp.maximum(_dot(w, h, prec), flr)
+        v = jnp.maximum(v * keep + lamb * miss, flr)    # imputation from
+        #                 the current model Lambda=WH (:251-254)
         div = _divergence(v, lamb, beta)
         cost = div + jnp.sum(sparsity * h)
         rel = jnp.abs(cost - last_cost) / jnp.abs(last_cost)
@@ -82,8 +82,8 @@ def snmf_mdi_solve(v: jnp.ndarray, mask: jnp.ndarray, w0: jnp.ndarray,
             jnp.asarray(jnp.inf, v.dtype), jnp.asarray(False))
     it, v, w, h, lamb, cost, _ = lax.while_loop(cond, body, init)
 
-    # final gain-matched merge (:297-303)
-    v_est = jnp.maximum(_dotp(w, h, prec), flr)
+    # final gain-matched merge (:297-303); Lambda IS the final W@H
+    v_est = lamb
     nt = jnp.sum(v * keep, axis=0) \
         / jnp.maximum(jnp.sum(v_est * keep, axis=0), flr)
     v_mdi = jnp.maximum(v * keep + (nt[None, :] * v_est) * miss, flr)
@@ -91,5 +91,3 @@ def snmf_mdi_solve(v: jnp.ndarray, mask: jnp.ndarray, w0: jnp.ndarray,
     return MdiResult(v_mdi=v_mdi, w=w, h=h, iters=it, div=div, cost=cost)
 
 
-def _dotp(a, b, prec):
-    return jnp.matmul(a, b, precision=prec)

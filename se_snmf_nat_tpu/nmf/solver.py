@@ -228,10 +228,9 @@ def snmf_solve(v: jnp.ndarray, w0: jnp.ndarray, h0: jnp.ndarray,
     return SnmfResult(w=w, h=h, iters=it, div=div, cost=cost)
 
 
-@partial(jax.jit, static_argnames=("params", "h_mask_static"))
+@partial(jax.jit, static_argnames=("params",))
 def snmf_h_solve_columns(v: jnp.ndarray, w: jnp.ndarray, h0: jnp.ndarray,
-                         params: SnmfParams,
-                         h_mask_static: bool = True) -> SnmfResult:
+                         params: SnmfParams) -> SnmfResult:
     """Activation solve treating every column as an independent problem.
 
     Reproduces N separate ``sparse_nmf(v[:, j:j+1], p)`` H-only calls (the
@@ -243,7 +242,6 @@ def snmf_h_solve_columns(v: jnp.ndarray, w: jnp.ndarray, h0: jnp.ndarray,
     v: (m, n);  w: (m, r) — used as given after column normalization;
     h0: (r, n) initial activations (pre-rescale, as MATLAB rand init).
     """
-    del h_mask_static
     prec = params.lax_precision
     flr = jnp.asarray(params.flr, v.dtype)
     sparsity = jnp.asarray(params.sparsity, v.dtype)

@@ -232,8 +232,12 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                                        switch == ad.update_period)
             switch_new = jnp.where(trig,
                                    jnp.where(do_solve, 1, switch + 1), switch)
+            # BOTH refit-gate statistics come from the refit-scheduling
+            # (do_solve) frame, matching the engine's r_up computed at that
+            # frame (engine.py:238) — ax_last previously tracked the last
+            # VALID frame, mixing frames' statistics (review finding)
             qctl_last = jnp.where(do_solve, q_control, qctl_last)
-            ax_last = jnp.where(ok, ax_mag, ax_last)
+            ax_last = jnp.where(do_solve, ax_mag, ax_last)
             out = jnp.where(ok, xm_tilde, jnp.zeros_like(xm_tilde))
             # bucket-padding frames must not touch the carried state
             new_carry = (jnp.where(ok, lambda_dav, lambda_dav_c),
@@ -334,6 +338,11 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             frames, win_arr, s.fftlength, s.pow, s.dc_bin, s.nonzerofloor,
             s.preemph)
         t = mag.shape[0]
+        if t % k_block:   # static shape: trace-time contract check
+            raise ValueError(
+                f"block-adaptive run needs frame count divisible by "
+                f"k_block={k_block}, got {t} (the pipeline's frame_bucket "
+                f"alignment guarantees this; pad frames before calling)")
         n_blocks = t // k_block
         mag_b = mag[: n_blocks * k_block].reshape(n_blocks, k_block, -1)
         ls = jnp.arange(1, n_blocks * k_block + 1,

@@ -18,7 +18,6 @@ the final EngineState of one utterance seeds the next.
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 import jax
@@ -225,14 +224,29 @@ class SnmfEnhancer:
                               emit_sources=True)
 
             @jax.jit
-            def run_sources(frames, state0):
+            def run_sources(frames, state0, t_valid):
+                # frames are bucket-padded (frame_bucket) with a masked
+                # scan so mixed-length files share one executable —
+                # previously every distinct length recompiled the plan
                 mag, phase = analysis_frames(
                     frames, self.win, s.fftlength, s.pow, s.dc_bin,
                     s.nonzerofloor, s.preemph)
                 t = mag.shape[0]
                 ls = jnp.arange(1, t + 1, dtype=jnp.int32)
+                idx = jnp.arange(t, dtype=jnp.int32)
+
+                def step(st, xs):
+                    mag_t, l, i = xs
+                    new_st, out = eng.step(st, (mag_t, l))
+                    ok = i < t_valid
+                    st_out = jax.tree.map(
+                        lambda a, b: jnp.where(ok, a, b), new_st, st)
+                    out = jax.tree.map(
+                        lambda o: jnp.where(ok, o, jnp.zeros_like(o)), out)
+                    return st_out, out
+
                 _, (xm, xs_srcs, ds_srcs) = jax.lax.scan(
-                    eng.step, state0, (mag, ls))
+                    step, state0, (mag, ls, idx))
 
                 def synth(m):
                     fr = synthesis_frames(
@@ -247,10 +261,12 @@ class SnmfEnhancer:
 
             self._run_sources = run_sources
 
-        frames = jnp.asarray(self.frames_for(x), self.dtype)
-        t = frames.shape[0]
+        true_frames = self.frames_for(x)
+        t = true_frames.shape[0]
+        frames = jnp.asarray(self._pad_frames(true_frames), self.dtype)
         y, y_ev, y_no = self._run_sources(
-            frames, state if state is not None else self._state0)
+            frames, state if state is not None else self._state0,
+            jnp.asarray(t, jnp.int32))
         start = self.cfg.delay * s.frameshift
         stop = start + (t - self.cfg.delay) * s.frameshift
 
