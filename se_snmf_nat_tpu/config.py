@@ -228,12 +228,18 @@ def default_config() -> PipelineConfig:
 
 def _baseline_common(cfg: PipelineConfig) -> PipelineConfig:
     """Shared deltas of the non-adaptive baselines (SNMF / IMCRA / Exemplar /
-    semisupervised presets all disable adaptation + block sparsity)."""
+    semisupervised presets all disable adaptation + block sparsity) — the
+    common lines of their settings files: preemph=0.92 (:84), max_iter=25
+    (:104), alpha_eta=0.95 (:115), alpha_d=0.85 (:129), beta=2.0 (:134)."""
     return cfg.evolve(
+        signal=replace(cfg.signal, preemph=0.92),
+        nmf=replace(cfg.nmf, max_iter=25),
         adapt=replace(cfg.adapt, adapt_train_n=False, init_n_len=10,
                       m_a=40, overlap_m_a=0.5),
         blk=replace(cfg.blk, enabled=False, p_len_k=50, p_len_l=3,
                     nu=1.2, alpha_p=0.6),
+        enhance=replace(cfg.enhance, alpha_eta=0.95, alpha_d=0.85,
+                        beta=2.0),
     )
 
 
@@ -274,32 +280,35 @@ def preset(name: str) -> PipelineConfig:
                             beta_max=10000.0),
         )
     if name == "snmf":
-        cfg = _baseline_common(base).evolve(
-            name="SNMF_baseline",
-            signal=replace(base.signal, preemph=0.92),
-            enhance=replace(base.enhance, method="Wiener"),
+        cfg = _baseline_common(base)
+        return cfg.evolve(
+            name="SNMF_baseline",                 # DCfreq stays 80 (:85)
+            enhance=replace(cfg.enhance, method="Wiener"),
         )
-        return cfg
     if name == "semisupervised":
         cfg = _baseline_common(base)
         return cfg.evolve(
             name="Semisupervised",
+            signal=replace(cfg.signal, dc_freq=160.0),          # :85
             sep=replace(base.sep, r_d=50, basis_update_n=True),
-            enhance=replace(base.enhance, method="Wiener"),
+            enhance=replace(cfg.enhance, method="Wiener"),
         )
     if name == "exemplar":
         cfg = _baseline_common(base)
         return cfg.evolve(
             name="Exemplar",
+            signal=replace(cfg.signal, dc_freq=160.0),          # :85
+            nmf=replace(cfg.nmf, max_iter=50),                  # :104
             sep=replace(base.sep, r_x=500, r_d=500),
             train=replace(base.train, train_exemplar=True),
-            enhance=replace(base.enhance, method="Wiener"),
+            enhance=replace(cfg.enhance, method="Wiener"),
         )
     if name == "imcra":
         cfg = _baseline_common(base)
         return cfg.evolve(
             name="IMCRA",
             algorithm="IMCRA",
+            signal=replace(cfg.signal, dc_freq=160.0),          # :85
             sep=replace(base.sep, r_x=50, r_d=50),
         )
     if name == "techwin_rt":
@@ -316,16 +325,22 @@ def preset(name: str) -> PipelineConfig:
                             beta=4.0, beta_max=10000.0),
         )
     if name == "snmf_techwin_rt":
+        # initial_setting_SNMF_Techwin_201603_RT.m diverges from the other
+        # baselines: init_N_len=15 (:56), blk window 60x20 nu=1.0
+        # alpha_p=0.4 (:63-67), max_iter=15 (:106), alpha_eta=0.4 (:117),
+        # beta=1.0 (:136)
         cfg = _baseline_common(base)
         return cfg.evolve(
             name="SNMF_Techwin_RT",
-            signal=replace(base.signal, preemph=0.92, dc_freq=160.0),
-            nmf=replace(base.nmf, max_iter=15),
+            signal=replace(cfg.signal, dc_freq=160.0),
+            nmf=replace(cfg.nmf, max_iter=15),
             sep=replace(base.sep, r_x=20, r_d=10, event_num=3,
                         event_rank=(1, 21, 41)),
-            adapt=replace(cfg.adapt, m_a=16, ar_up=0.8),
-            blk=replace(cfg.blk, blk_gap=5),
-            enhance=replace(base.enhance, method="Wiener"),
+            adapt=replace(cfg.adapt, init_n_len=15, m_a=16, ar_up=0.8),
+            blk=replace(cfg.blk, p_len_k=60, p_len_l=20, nu=1.0,
+                        alpha_p=0.4, blk_gap=5),
+            enhance=replace(cfg.enhance, method="Wiener", alpha_eta=0.4,
+                            beta=1.0),
         )
     raise KeyError(f"unknown preset {name!r}")
 

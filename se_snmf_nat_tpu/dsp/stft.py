@@ -101,7 +101,8 @@ def pack_samples_for_upload(smp: np.ndarray, np_dtype=np.float32) -> np.ndarray:
     synthetic float inputs into the same enhancer adds the one-time float
     compilation.
     """
-    if (np.all(smp == np.floor(smp))
+    if (smp.size
+            and np.all(smp == np.floor(smp))
             and smp.min() >= -32768 and smp.max() <= 32767):
         return smp.astype(np.int16)
     return np.asarray(smp, np_dtype)
@@ -181,6 +182,11 @@ def overlap_add(frames: jnp.ndarray, frameshift: int) -> jnp.ndarray:
     frame t covers samples [t*hop, t*hop + framelength).
     """
     t, n = frames.shape
+    if n % frameshift:       # static shapes: trace-time contract check
+        raise ValueError(
+            f"overlap_add requires framelength ({n}) divisible by "
+            f"frameshift ({frameshift}); the reshape-based scatter-add "
+            f"only tiles integer overlap ratios")
     ratio = n // frameshift  # frames overlapping any sample (=4 in live cfg)
     total = (t - 1) * frameshift + n
     # Split each frame into `ratio` hop-sized chunks; chunk c of frame t

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from se_snmf_nat_tpu.oracle.imcra_np import (
-    ImcraParams, imcra_windows, matlab_hanning)
+    ImcraParams, _iround, imcra_windows, matlab_hanning)
 from se_snmf_nat_tpu.dsp.stft import pack_samples_for_upload
 from se_snmf_nat_tpu.utils.matlab_compat import (
     matlab_int16_write, matlab_int16_write_jax)
@@ -83,10 +83,10 @@ def make_imcra_step(p: ImcraParams, dtype=jnp.float32):
     b_xi_g = jnp.asarray(matlab_hanning(2 * p.w_xi_global + 1), dtype)
     b_xi_g = b_xi_g / jnp.sum(b_xi_g)
 
-    k_u = min(int(round(p.f_u / p.fs * p.m + 1)), m21)
-    k_l = int(round(p.f_l / p.fs * p.m + 1))
-    k2 = int(round(500.0 / p.fs * p.m + 1))
-    k3 = int(round(3500.0 / p.fs * p.m + 1))
+    k_u = min(_iround(p.f_u / p.fs * p.m + 1), m21)
+    k_l = _iround(p.f_l / p.fs * p.m + 1)
+    k2 = _iround(500.0 / p.fs * p.m + 1)
+    k3 = _iround(3500.0 / p.fs * p.m + 1)
     eta_min = p.eta_min
     g_f = p.g_f
     nonstat_factor = 2.0 if p.nonstat == "high" else 1.4685

@@ -26,7 +26,7 @@ from jax import lax
 
 from se_snmf_nat_tpu.dsp.stft import pack_samples_for_upload
 from se_snmf_nat_tpu.oracle.ms_np import (
-    MsDerived, MsgParams, MsParams, ms_derived)
+    MsDerived, MsgParams, MsParams, _iround, ms_derived)
 from se_snmf_nat_tpu.utils.matlab_compat import (
     matlab_int16_write, matlab_int16_write_jax)
 from se_snmf_nat_tpu.utils.special import (
@@ -220,7 +220,7 @@ class MmseEnhancer:
         else:
             step = make_ms_step(p, d, dtype)
         ni, nf = d.ni, d.nf
-        no = int(round(p.of))
+        no = _iround(p.of)
 
         @jax.jit
         def run(frames, state0, n_valid):
@@ -280,7 +280,7 @@ class MmseEnhancer:
         if self.tracker == "mmse":
             # estnoiseg.m:122-124 init: psini * mean of the first
             # ~tavini seconds of frames
-            n0 = max(1, min(nr, int(round(1 + self.g.tavini / d.tinc))))
+            n0 = max(1, min(nr, _iround(1 + self.g.tavini / d.tinc)))
             y0 = np.fft.rfft(s[idx[:n0]] * win[None, :], nf, axis=1)
             yp0 = (y0 * np.conj(y0)).real
             return MsgScanState(

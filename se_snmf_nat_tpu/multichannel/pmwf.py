@@ -120,15 +120,21 @@ class PmwfEnhancer:
 
             covs = spectro_temporal_cov(y, p.m_nbr, p.l_nbr)  # (T,F,C,C)
             n_init = min(p.init_n_len, t)
-            ncov = jnp.mean(covs[:n_init], axis=0)
-            # block means of the noisy covariance (norm_period frames)
+            # the reference normalizes accumulated covariances by
+            # (norm_period - 1) — sum/(n-1), not a mean — and the scale
+            # does NOT cancel through (Ncov+dI)^-1 Ecov/(beta+tr) because
+            # diag_load and beta are absolute (PMWF_sep_event_RT_CHiME.m:
+            # 117,138)
+            ncov = jnp.sum(covs[:n_init], axis=0) / max(n_init - 1, 1)
+            # per-block accumulated noisy covariance (norm_period frames)
             n_blocks = -(-t // p.norm_period)
             pad_t = n_blocks * p.norm_period - t
             covs_p = jnp.concatenate(
                 [covs, jnp.repeat(covs[-1:], pad_t, axis=0)], axis=0) \
                 if pad_t else covs
             ycov_blocks = covs_p.reshape(
-                n_blocks, p.norm_period, *covs.shape[1:]).mean(axis=1)
+                n_blocks, p.norm_period, *covs.shape[1:]).sum(axis=1) \
+                / (p.norm_period - 1)
             ecov_blocks = ycov_blocks - ncov[None]
             h = jax.vmap(lambda e: pmwf_filters(
                 ncov, e, p.beta, p.diag_load))(ecov_blocks)  # (B,F,J,C)

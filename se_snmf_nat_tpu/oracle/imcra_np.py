@@ -11,8 +11,16 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+
+from se_snmf_nat_tpu.utils.matlab_compat import matlab_round
 from scipy.special import exp1
 
+
+
+def _iround(x) -> int:
+    """int(MATLAB round(x)): half AWAY from zero (Python round is
+    half-to-even) for parameter derivations — parity on .5 boundaries."""
+    return int(matlab_round(np.asarray(float(x))))
 
 def matlab_hanning(n: int) -> np.ndarray:
     """MATLAB hanning(n): Hann without zero endpoints."""
@@ -123,10 +131,10 @@ def omlsa_imcra_np(y_samples: np.ndarray, p: ImcraParams | None = None
     b_xi_g = matlab_hanning(2 * p.w_xi_global + 1)
     b_xi_g /= b_xi_g.sum()
 
-    k_u = min(int(round(p.f_u / p.fs * m + 1)), m21)   # 1-based
-    k_l = int(round(p.f_l / p.fs * m + 1))
-    k2 = int(round(500.0 / p.fs * m + 1))
-    k3 = int(round(3500.0 / p.fs * m + 1))
+    k_u = min(_iround(p.f_u / p.fs * m + 1), m21)   # 1-based
+    k_l = _iround(p.f_l / p.fs * m + 1)
+    k2 = _iround(500.0 / p.fs * m + 1)
+    k3 = _iround(3500.0 / p.fs * m + 1)
 
     out = np.zeros(m)
     stream: list[np.ndarray] = []

@@ -12,12 +12,20 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
+
+from se_snmf_nat_tpu.utils.matlab_compat import matlab_round
 from scipy.special import exp1, iv
 
 
 # ---------------------------------------------------------------------------
 # Parameters
 # ---------------------------------------------------------------------------
+
+
+def _iround(x) -> int:
+    """int(MATLAB round(x)): half AWAY from zero (Python round is
+    half-to-even) for parameter derivations — parity on .5 boundaries."""
+    return int(matlab_round(np.asarray(float(x))))
 
 @dataclass(frozen=True)
 class MsParams:
@@ -87,14 +95,14 @@ def mhvals(d: int) -> tuple[float, float]:
 
 
 def ms_derived(p: MsParams, fs: int) -> MsDerived:
-    ni = int(round(p.ti * fs))
-    nf = ni * int(round(p.of))
+    ni = _iround(p.ti * fs)
+    nf = ni * _iround(p.of)
     tinc = ni / fs
-    nv = int(round(p.td / (tinc * p.nu)))
+    nv = _iround(p.td / (tinc * p.nu))
     nu = p.nu
     if nv < 4:
         nv = 4
-        nu = max(int(round(p.td / (tinc * nv))), 1)
+        nu = max(_iround(p.td / (tinc * nv)), 1)
     nd = nu * nv
     md, hd = mhvals(nd)
     mv, hv = mhvals(nv)
@@ -213,7 +221,7 @@ def ssubmmse_np(s: np.ndarray, fs: int, p: MsParams | None = None,
         xu = state["xu"]
     else:
         ze = None
-        ssv = np.zeros(ni * (int(round(p.of)) - 1))
+        ssv = np.zeros(ni * (_iround(p.of) - 1))
         xu = 1.0
 
     nr = (len(s) - nf + ni) // ni if len(s) >= nf else 0
@@ -249,7 +257,7 @@ def ssubmmse_np(s: np.ndarray, fs: int, p: MsParams | None = None,
             g = (g > p.bt).astype(np.float64)
         g = p.mx + (1 - p.mx) * g
         se = np.fft.irfft(yf * g, nf, axis=1) * w[None, :]
-        total = ni * (nr + int(round(p.of)) - 1)
+        total = ni * (nr + _iround(p.of) - 1)
         ss = np.zeros(total)
         ss[: len(ssv)] += ssv
         for i in range(nr):
@@ -257,7 +265,7 @@ def ssubmmse_np(s: np.ndarray, fs: int, p: MsParams | None = None,
     else:
         ss = np.zeros(0)   # no full frame yet; ze stays as passed (or None)
 
-    tail = ni * (int(round(p.of)) - 1)
+    tail = ni * (_iround(p.of) - 1)
     if not return_state:
         return ss          # single-call form returns the full OLA stream
     if nr > 0:
@@ -300,7 +308,7 @@ def estnoiseg_np(yp: np.ndarray, tinc: float, p: MsgParams | None = None,
     xih1r = 1.0 / (1.0 + xih1) - 1.0
     pfac = (1.0 / p.pspri - 1.0) * (1.0 + xih1)
     if state is None:
-        n0 = max(1, min(nr, int(round(1 + p.tavini / tinc))))
+        n0 = max(1, min(nr, _iround(1 + p.tavini / tinc)))
         xt = p.psini * yp[:n0].mean(axis=0)
         pslp = np.full(nrf, p.psini)
     else:

@@ -68,7 +68,7 @@ def build_training_sequence(
     seq_cap = int(t.train_seq_len_max_s * fs)
 
     files = sorted(p for p in Path(db_path).iterdir()
-                   if p.suffix.lower() in (".wav", ".WAV"))
+                   if p.suffix.lower() == ".wav")
     if shuffle:
         rng = rng or np.random.default_rng()
         files = [files[i] for i in rng.permutation(len(files))]
@@ -90,6 +90,10 @@ def build_training_sequence(
             win = load_annotation(f.stem, len(s), fs, anno_dir)
             if win is not None:
                 s = s[win[0]: win[1]]
+            elif len(s) > file_cap:
+                # missing annotation (the reference errors here; we fall
+                # back) must still respect the per-file cap
+                s = s[:file_cap]
         elif len(s) > file_cap:
             s = s[:file_cap]
         if len(s) == 0:

@@ -135,7 +135,19 @@ def save_basis_evolution_png(snapshots: list, hop_indices: list,
 
     heads = [np.asarray(h, np.float64) for h in snapshots]
     k = len(heads)
-    fig, axes = plt.subplots(1, k + 1, figsize=(2.2 * (k + 1), 3), dpi=110)
+    if k == 0:
+        # no checkpoints recorded (adaptation never fired): emit an empty
+        # placeholder rather than crashing the demo's artifact dump
+        fig, ax = plt.subplots(figsize=(3, 3), dpi=110)
+        ax.text(0.5, 0.5, "no basis snapshots", ha="center", va="center",
+                color=_MUTED)
+        ax.set_axis_off()
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+        return Path(path)
+    fig, axes = plt.subplots(1, k + 1, figsize=(2.2 * (k + 1), 3), dpi=110,
+                             squeeze=False)
+    axes = axes[0]
     vmax = max(np.log10(h + 1e-9).max() for h in heads)
     vmin = vmax - 4.0
     for ax, h, hop in zip(axes[:-1], heads, hop_indices):
