@@ -121,14 +121,69 @@ def preemphasis(frames: jnp.ndarray, coeff: float) -> jnp.ndarray:
     return frames - coeff * shifted
 
 
+_DFT_MATRIX_CACHE: dict = {}
+
+
+def dft_matrices(framelength: int, fftlength: int, dtype=np.float32):
+    """Real DFT as two (framelength, F) matmul operands, and the inverse
+    (F, framelength) pair.
+
+    TPU-first: XLA's TPU rfft runs on the VPU at ~0.2 TFLOP/s for these
+    shapes; expressing the 1024-point transform of 640 nonzero samples as
+    two MXU matmuls measures 2x faster at ``precision='highest'`` AND more
+    accurate (max rel err vs a float64 FFT: 1.4e-7 matmul vs 3.3e-7 XLA
+    rfft, measured on v5e — the matmul accumulates in f32 through the MXU
+    passes while the FFT compounds butterfly rounding).  Forward:
+    ``re = y @ C, im = y @ S``.  Inverse (conjugate-symmetric, truncated to
+    framelength as synth_ifft_buff.m:16-24 does): ``y = re @ Ci + im @ Si``.
+    """
+    key = (framelength, fftlength, np.dtype(dtype).name)
+    hit = _DFT_MATRIX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    f = fftlength // 2 + 1
+    k = np.arange(fftlength)[:framelength, None] * np.arange(f)[None, :] \
+        * (2.0 * np.pi / fftlength)
+    c = np.cos(k)
+    s = -np.sin(k)
+    # inverse: y_n = (1/N) sum_k w_k (re_k cos - im_k sin), w = 2 except the
+    # DC and Nyquist bins (conjugate-symmetric real ifft)
+    wk = np.full((f, 1), 2.0)
+    wk[0] = 1.0
+    if fftlength % 2 == 0:
+        wk[-1] = 1.0
+    n = np.arange(framelength)[None, :]
+    ki = np.arange(f)[:, None] * n * (2.0 * np.pi / fftlength)
+    ci = wk * np.cos(ki) / fftlength
+    si = -wk * np.sin(ki) / fftlength
+    # cache as NumPy: jnp arrays created inside a jit trace would leak
+    # tracers across calls; as np constants they fold into each jaxpr
+    out = tuple(np.asarray(a, dtype) for a in (c, s, ci, si))
+    _DFT_MATRIX_CACHE[key] = out
+    return out
+
+
 def analysis_frames(frames: jnp.ndarray, win: jnp.ndarray, fftlength: int,
                     pow_: float, dc_bin: int, nonzerofloor: float,
-                    preemph: float = 0.0) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(T, framelength) time frames -> (mag**pow (T, F), phase (T, F))."""
+                    preemph: float = 0.0,
+                    dft_matmul: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(T, framelength) time frames -> (mag**pow (T, F), phase (T, F)).
+
+    ``dft_matmul=True`` computes the transform as two MXU matmuls instead
+    of ``jnp.fft.rfft`` (see dft_matrices) — the f32 production plans' fast
+    path; the default stays on the FFT, which the x64 oracle-parity gates
+    pin bit-for-bit."""
     y = preemphasis(frames, preemph) * win[None, :]
-    spec = jnp.fft.rfft(y, n=fftlength, axis=-1)
-    phase = jnp.angle(spec)
-    mag = jnp.abs(spec) ** pow_
+    if dft_matmul:
+        c, s, _, _ = dft_matrices(y.shape[-1], fftlength, y.dtype)
+        re = jnp.dot(y, c, precision="highest")
+        im = jnp.dot(y, s, precision="highest")
+        phase = jnp.arctan2(im, re)
+        mag = (re * re + im * im) ** (pow_ / 2.0)
+    else:
+        spec = jnp.fft.rfft(y, n=fftlength, axis=-1)
+        phase = jnp.angle(spec)
+        mag = jnp.abs(spec) ** pow_
     if dc_bin > 0:
         mag = mag.at[:, :dc_bin].set(0.0)
     mag = mag + nonzerofloor
@@ -157,17 +212,28 @@ def deemphasis(frames: jnp.ndarray, coeff: float) -> jnp.ndarray:
 def synthesis_frames(mag: jnp.ndarray, phase: jnp.ndarray, framelength: int,
                      fftlength: int, win: jnp.ndarray, pow_: float,
                      dc_bin_back: int, overlapscale: float,
-                     preemph: float = 0.0) -> jnp.ndarray:
+                     preemph: float = 0.0,
+                     dft_matmul: bool = False) -> jnp.ndarray:
     """(T, F) mag**pow + phase -> (T, framelength) windowed time frames.
 
     Matches synth_ifft_buff.m: dc rows zeroed BEFORE the pow-th root, real
     ifft of the conjugate-symmetric spectrum truncated to framelength,
-    synthesis window, de-emphasis; times overlapscale (engine :354-363)."""
+    synthesis window, de-emphasis; times overlapscale (engine :354-363).
+    ``dft_matmul=True`` runs the inverse transform as two MXU matmuls (see
+    dft_matrices) — only the first ``framelength`` output samples are ever
+    used, so the matmul computes exactly those."""
     if dc_bin_back > 0:
         mag = mag.at[:, :dc_bin_back].set(0.0)
     amp = mag ** (1.0 / pow_)
-    spec = amp * jnp.exp(1j * phase)
-    y = jnp.fft.irfft(spec, n=fftlength, axis=-1)[:, :framelength]
+    if dft_matmul:
+        _, _, ci, si = dft_matrices(framelength, fftlength, amp.dtype)
+        re = amp * jnp.cos(phase)
+        im = amp * jnp.sin(phase)
+        y = (jnp.dot(re, ci, precision="highest")
+             + jnp.dot(im, si, precision="highest"))
+    else:
+        spec = amp * jnp.exp(1j * phase)
+        y = jnp.fft.irfft(spec, n=fftlength, axis=-1)[:, :framelength]
     y = y * win[None, :]
     y = deemphasis(y, preemph)
     return y * overlapscale

@@ -325,7 +325,7 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
 
 def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                             dtype=jnp.float32, k_block: int = 16,
-                            iter_cap: int = 0):
+                            iter_cap: int = 0, dft_matmul: bool = False):
     """Returns jitted run(frames (T,L), state0: EngineState, win) ->
     (y, state)."""
     s = cfg.signal
@@ -336,7 +336,7 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
     def run(frames, state0, win_arr, t_valid):
         mag, phase = analysis_frames(
             frames, win_arr, s.fftlength, s.pow, s.dc_bin, s.nonzerofloor,
-            s.preemph)
+            s.preemph, dft_matmul=dft_matmul)
         t = mag.shape[0]
         if t % k_block:   # static shape: trace-time contract check
             raise ValueError(
@@ -357,7 +357,7 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         out_frames = synthesis_frames(
             xm_tilde, phase[: n_blocks * k_block], s.framelength,
             s.fftlength, win_arr, s.pow, s.dc_bin_back, s.overlapscale,
-            s.preemph)
+            s.preemph, dft_matmul=dft_matmul)
         return overlap_add(out_frames, s.frameshift), state
 
     return run

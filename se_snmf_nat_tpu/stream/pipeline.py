@@ -39,7 +39,8 @@ class SnmfEnhancer:
     def __init__(self, cfg: PipelineConfig | None, b1_x, b1_d, b2_x, b2_d,
                  dtype=jnp.float32, matlab_ad_blk_init: bool = True,
                  frame_bucket: int = 128, block_adapt: int = 0,
-                 block_iter_cap: int = 0, warm_start: bool = False):
+                 block_iter_cap: int = 0, warm_start: bool = False,
+                 dft_matmul: bool = False):
         self.cfg = cfg or default_config()
         s = self.cfg.signal
         self.dtype = dtype
@@ -47,6 +48,11 @@ class SnmfEnhancer:
             raise ValueError("warm_start applies to the exact scan plan; "
                              "combine with block_adapt is unsupported")
         self.warm_start = warm_start
+        # opt-in MXU transform: STFT/iSTFT as 'highest'-precision matmuls
+        # (2x faster than XLA's TPU rfft AND closer to the f64 transform —
+        # dsp/stft.dft_matrices); default off so the x64 oracle bit-parity
+        # gates stay pinned to jnp.fft
+        self.dft_matmul = bool(dft_matmul)
         self.engine = make_engine(self.cfg, b1_x, b1_d, b2_x, b2_d, dtype,
                                   warm_start=warm_start)
         self.win = jnp.asarray(sqrt_hann_periodic(s.framelength), dtype)
@@ -63,7 +69,7 @@ class SnmfEnhancer:
         from se_snmf_nat_tpu.stream.fast_pipeline import (
             make_fast_run, supports_fast_plan)
         self._fast_run = (make_fast_run(self.cfg, b1_x, b1_d, b2_x, b2_d,
-                                        dtype)
+                                        dtype, dft_matmul=self.dft_matmul)
                           if supports_fast_plan(self.cfg) and not warm_start
                           else None)
         self._fast_run_batch = (
@@ -85,7 +91,7 @@ class SnmfEnhancer:
                                      * block_adapt)
             self._block_run = make_block_adaptive_run(
                 self.cfg, b1_x, b1_d, b2_x, b2_d, dtype, block_adapt,
-                block_iter_cap)
+                block_iter_cap, dft_matmul=self.dft_matmul)
             self._block_run_batch = jax.jit(
                 jax.vmap(self._block_run, in_axes=(0, 0, None, 0)))
 
@@ -103,14 +109,15 @@ class SnmfEnhancer:
         def run(frames, state0, t_valid):
             mag, phase = analysis_frames(
                 frames, self.win, s.fftlength, s.pow, s.dc_bin,
-                s.nonzerofloor, s.preemph)
+                s.nonzerofloor, s.preemph, dft_matmul=self.dft_matmul)
             t = mag.shape[0]
             ls = jnp.arange(1, t + 1, dtype=jnp.int32)
             state, xm_tilde = jax.lax.scan(masked_step(t_valid), state0,
                                            (mag, ls))
             out_frames = synthesis_frames(
                 xm_tilde, phase, s.framelength, s.fftlength, self.win, s.pow,
-                s.dc_bin_back, s.overlapscale, s.preemph)
+                s.dc_bin_back, s.overlapscale, s.preemph,
+                dft_matmul=self.dft_matmul)
             y = overlap_add(out_frames, s.frameshift)
             return y, state
 
@@ -230,7 +237,7 @@ class SnmfEnhancer:
                 # previously every distinct length recompiled the plan
                 mag, phase = analysis_frames(
                     frames, self.win, s.fftlength, s.pow, s.dc_bin,
-                    s.nonzerofloor, s.preemph)
+                    s.nonzerofloor, s.preemph, dft_matmul=self.dft_matmul)
                 t = mag.shape[0]
                 ls = jnp.arange(1, t + 1, dtype=jnp.int32)
                 idx = jnp.arange(t, dtype=jnp.int32)
@@ -251,7 +258,8 @@ class SnmfEnhancer:
                 def synth(m):
                     fr = synthesis_frames(
                         m, phase, s.framelength, s.fftlength, self.win,
-                        s.pow, s.dc_bin_back, s.overlapscale, s.preemph)
+                        s.pow, s.dc_bin_back, s.overlapscale, s.preemph,
+                        dft_matmul=self.dft_matmul)
                     return overlap_add(fr, s.frameshift)
 
                 y = synth(xm)
