@@ -62,7 +62,8 @@ def _build_enhancer(args):
                             dtype=dtype,
                             block_adapt=getattr(args, "block_adapt", 0),
                             block_iter_cap=getattr(args, "block_iter_cap",
-                                                   0))
+                                                   0),
+                            dft_matmul=getattr(args, "dft_matmul", False))
     if algo == "imcra":
         from se_snmf_nat_tpu.enhance.imcra import OmlsaEnhancer
         return OmlsaEnhancer(dtype=dtype)
@@ -244,7 +245,8 @@ def cmd_campaign(args) -> int:
         b1x, b1d = speech.b_dft, noise.b_dft
     enh = SnmfEnhancer(cfg, b1x, b1d, speech.b_dft, noise.b_dft, dtype=dtype,
                        block_adapt=args.block_adapt,
-                       block_iter_cap=getattr(args, "block_iter_cap", 0))
+                       block_iter_cap=getattr(args, "block_iter_cap", 0),
+                       dft_matmul=getattr(args, "dft_matmul", False))
 
     out_root = Path(args.out_root)
     results = {}
@@ -784,6 +786,11 @@ def _common_enh_args(sp):
                          "refits; 16-48 trades refit granularity for "
                          "~10x throughput at gated golden-output quality;"
                          " 48 is the bench headline)")
+    sp.add_argument("--dft-matmul", action="store_true",
+                    help="run STFT/iSTFT as 'highest'-precision MXU "
+                         "matmuls instead of jnp.fft — the f32 throughput "
+                         "plans' fast path (+28%% measured on v5e at "
+                         "unchanged golden quality; dsp/stft.dft_matrices)")
     sp.add_argument("--block-iter-cap", type=int, default=0,
                     help="cap MU iterations in the block plan (0=config "
                          "max_iter; 40 is the measured speed optimum with "
@@ -901,6 +908,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--no-carry", action="store_true")
     c.add_argument("--block-adapt", type=int, default=0)
     c.add_argument("--block-iter-cap", type=int, default=0)
+    c.add_argument("--dft-matmul", action="store_true")
     c.add_argument("--speech-dc-freq", type=float, default=None,
                    help="per-class DC cutoff Hz (driver DC_freq_set)")
     c.add_argument("--noise-dc-freq", type=float, default=None)
