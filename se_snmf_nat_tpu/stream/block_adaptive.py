@@ -68,7 +68,7 @@ def rings_to_shift_layout(state: EngineState, ptr: jnp.ndarray,
 
 def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                     dtype=jnp.float32, k_block: int = 16,
-                    iter_cap: int = 0):
+                    iter_cap: int = 0, refit_iter_cap: int = 0):
     """The K-frame block step ((state, ring_ptr), (mag_blk, ls, ok)) ->
     ((state, ring_ptr), xm_tilde_seq) shared by the offline plan and the
     streaming session.
@@ -115,6 +115,18 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         beta=cfg.nmf.beta, sparsity=float(cfg.nmf.sparsity),
         max_iter=eff_max_iter, conv_eps=cfg.nmf.conv_eps, flr=1e-9,
         precision=cfg.runtime.matmul_precision)
+    # refit_iter_cap: separate (tighter) cap for the per-block dictionary
+    # refit W-solve.  Measured at production shapes (K=48, B=64, v5e):
+    # SPEED-NEUTRAL (8889-8905 au-s/s across caps 0/24/16/12 — the refit
+    # while_loops already exit early on their per-column relative-cost
+    # tests, unlike the straggler-bound H-solves) and quality-invariant
+    # down to cap 16 (golden corr .9925/.9940 identical to uncapped;
+    # cap 12 dents LM to .9937).  Kept as a validated option for shapes
+    # where refit convergence is slower.
+    import dataclasses as _dc
+    params_refit = (_dc.replace(params,
+                                max_iter=min(eff_max_iter, refit_iter_cap))
+                    if refit_iter_cap else params)
     m_a = ad.m_a
     # gap >= 3 (the reference default): Q leaves the scan as banded GEMMs;
     # gap < 3 makes Q a true recurrence over centers, so it stays
@@ -305,7 +317,7 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             w0 = head * r_up[None, :]
             h0a = ad_s * r_up[:, None]
             res = snmf_solve(target, w0, h0a, r_up, jnp.zeros(r_a, bool),
-                             params, update_w=True, update_h=False,
+                             params_refit, update_w=True, update_h=False,
                              active=any_trig)
             merged = jnp.where(r_up[None, :], res.w, head)
             perm = jnp.argsort(r_up.astype(jnp.int32), stable=True)
@@ -325,12 +337,13 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
 
 def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                             dtype=jnp.float32, k_block: int = 16,
-                            iter_cap: int = 0, dft_matmul: bool = False):
+                            iter_cap: int = 0, dft_matmul: bool = False,
+                            refit_iter_cap: int = 0):
     """Returns jitted run(frames (T,L), state0: EngineState, win) ->
     (y, state)."""
     s = cfg.signal
     block_step = make_block_step(cfg, b1_x, b1_d, b2_x, b2_d, dtype, k_block,
-                                 iter_cap)
+                                 iter_cap, refit_iter_cap)
 
     @jax.jit
     def run(frames, state0, win_arr, t_valid):

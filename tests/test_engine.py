@@ -209,6 +209,48 @@ def test_fast_plan_bit_equal_scan_plan(reference_bases, short_clip):
 
 
 @pytest.mark.slow
+def test_fast_plan_iter_cap_output_invariant(reference_bases, short_clip):
+    """Capping the fast plan's single batched MU solve at 40 iterations
+    leaves the output essentially unchanged (on-chip: corr 1.00000 on full
+    M03, 9772 -> 15497 au-s/s — only straggler columns with oscillating
+    relative-cost tests run past ~iteration 31, and they drag the whole
+    batched while_loop to max_iter; same finding as the block plan's
+    block_iter_cap sweep).  Opt-in via cfg.nmf.max_iter, default 100 so
+    the x64 oracle parity gates stay pinned."""
+    from dataclasses import replace
+    cfg = default_config()
+    cfg = cfg.evolve(adapt=replace(cfg.adapt, adapt_train_n=False))
+    speech, noise = reference_bases
+    def out(max_iter):
+        c = cfg.evolve(nmf=replace(cfg.nmf, max_iter=max_iter))
+        enh = SnmfEnhancer(c, speech.b_dft, noise.b_dft, speech.b_dft,
+                           noise.b_dft, dtype=jnp.float32)
+        assert enh._fast_run is not None
+        return enh.enhance(short_clip).astype(np.float64)
+    a, b = out(100), out(40)
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.9999, corr
+    d = np.abs(a - b)
+    assert np.mean(d) < 20.0, np.mean(d)
+
+
+@pytest.mark.slow
+def test_block_plan_refit_cap_output_stable(reference_bases, short_clip):
+    """block_refit_cap=16 leaves the block plan's output essentially
+    unchanged (on-chip at production shapes it is also speed-neutral —
+    the refit W-solves exit early on their own; block_adaptive.py)."""
+    cfg = default_config()
+    speech, noise = reference_bases
+    def out(rc):
+        enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                           noise.b_dft, dtype=jnp.float32, block_adapt=16,
+                           block_refit_cap=rc)
+        return enh.enhance(short_clip).astype(np.float64)
+    a, b = out(0), out(16)
+    assert np.corrcoef(a, b)[0, 1] > 0.999
+
+
+@pytest.mark.slow
 def test_fast_plan_mmse_blk_config(reference_bases, short_clip):
     """MMSE + block sparsity, adaptation off — fast vs scan."""
     from dataclasses import replace
