@@ -49,6 +49,9 @@ def _load_bases(args, cfg):
 def _build_enhancer(args):
     from se_snmf_nat_tpu.config import preset
     cfg = preset(args.preset)
+    if getattr(args, "max_iter", 0):
+        from dataclasses import replace
+        cfg = cfg.evolve(nmf=replace(cfg.nmf, max_iter=args.max_iter))
     dtype = _jnp_dtype(args.dtype)
     algo = args.algorithm.lower()
     if algo == "snmf":
@@ -786,6 +789,11 @@ def _common_enh_args(sp):
                          "refits; 16-48 trades refit granularity for "
                          "~10x throughput at gated golden-output quality;"
                          " 48 is the bench headline)")
+    sp.add_argument("--max-iter", type=int, default=0,
+                    help="override cfg.nmf.max_iter (0=preset value, 100). "
+                         "40 is the measured-safe straggler cap: fast plan "
+                         "9772 -> 15497 au-s/s at corr 1.00000 vs uncapped "
+                         "(test_engine.py::test_fast_plan_iter_cap_*)")
     sp.add_argument("--dft-matmul", action="store_true",
                     help="run STFT/iSTFT as 'highest'-precision MXU "
                          "matmuls instead of jnp.fft — the f32 throughput "
