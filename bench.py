@@ -183,7 +183,14 @@ def main() -> None:
     def stft_chain(fr, mag0, ph0):
         def body(carry, _):
             mag_p, ph_p = carry
-            scale = 1.0 + 1e-12 * (mag_p[0, 0] + ph_p[0, 0])
+            # chain through a LIVE bin past the DC cut (bins < dc_bin are
+            # the constant nonzerofloor) and make the perturbation large
+            # enough to change the f32 input: sin() of the running
+            # magnitude is bounded yet varies chaotically trip to trip, so
+            # no two scan trips — and no two outer dispatches, since the
+            # carry feeds back — compute the same transform
+            scale = 1.0 + 1e-3 * jnp.sin(mag_p[0, s.dc_bin]
+                                         + ph_p[0, s.dc_bin])
             return analysis_frames(fr * scale, enh.win, s.fftlength, s.pow,
                                    s.dc_bin, s.nonzerofloor, s.preemph,
                                    dft_matmul=True), None

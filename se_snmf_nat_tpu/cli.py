@@ -54,6 +54,19 @@ def _build_enhancer(args):
         cfg = cfg.evolve(nmf=replace(cfg.nmf, max_iter=args.max_iter))
     dtype = _jnp_dtype(args.dtype)
     algo = args.algorithm.lower()
+    if algo != "snmf":
+        # these knobs configure the SNMF plans only; anything else would
+        # silently ignore them (review finding) — refuse instead
+        ignored = [flag for flag, attr in
+                   (("--dft-matmul", "dft_matmul"), ("--max-iter", "max_iter"),
+                    ("--block-adapt", "block_adapt"),
+                    ("--block-iter-cap", "block_iter_cap"))
+                   if getattr(args, attr, 0)]
+        if ignored:
+            raise SystemExit(
+                f"{', '.join(ignored)} only apply to --algorithm snmf "
+                f"(they configure the sparse-NMF solver/transform plans); "
+                f"got --algorithm {algo}")
     if algo == "snmf":
         from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
         speech, noise = _load_bases(args, cfg)

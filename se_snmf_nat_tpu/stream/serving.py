@@ -93,6 +93,10 @@ class MultiStreamSession:
 
         win = enhancer.win
         eng = enhancer.engine
+        # match the enhancer's transform (see StreamingSession): serving
+        # output keeps its solo-session/offline bit-identity when the
+        # MXU-matmul DFT fast path is enabled
+        dm = bool(getattr(enhancer, "dft_matmul", False))
 
         def run_one(frames, state, l0, n_valid):
             # same per-lane program as StreamingSession.run_block; the
@@ -100,7 +104,7 @@ class MultiStreamSession:
             # reset lane's engine clock restarts independently)
             mag, phase = analysis_frames(
                 frames, win, s.fftlength, s.pow, s.dc_bin,
-                s.nonzerofloor, s.preemph)
+                s.nonzerofloor, s.preemph, dft_matmul=dm)
             k = frames.shape[0]
             idx = jnp.arange(k, dtype=jnp.int32)
 
@@ -115,7 +119,7 @@ class MultiStreamSession:
             state, xm = jax.lax.scan(step, state, (mag, l0 + idx, idx))
             out = synthesis_frames(
                 xm, phase, s.framelength, s.fftlength, win, s.pow,
-                s.dc_bin_back, s.overlapscale, s.preemph)
+                s.dc_bin_back, s.overlapscale, s.preemph, dft_matmul=dm)
             return out, state
 
         self._run_block = jax.jit(
@@ -133,13 +137,13 @@ class MultiStreamSession:
             def run_one_fast(frames, state, ptr, l0):
                 mag, phase = analysis_frames(
                     frames, win, s.fftlength, s.pow, s.dc_bin,
-                    s.nonzerofloor, s.preemph)
+                    s.nonzerofloor, s.preemph, dft_matmul=dm)
                 ls = l0 + jnp.arange(frames.shape[0], dtype=jnp.int32)
                 ok = jnp.ones(frames.shape[0], bool)
                 (state, ptr), xm = ba_step((state, ptr), (mag, ls, ok))
                 out = synthesis_frames(
                     xm, phase, s.framelength, s.fftlength, win, s.pow,
-                    s.dc_bin_back, s.overlapscale, s.preemph)
+                    s.dc_bin_back, s.overlapscale, s.preemph, dft_matmul=dm)
                 return out, state, ptr
 
             self._run_block_fast = jax.jit(

@@ -48,6 +48,10 @@ class StreamingSession:
 
         win = enhancer.win
         eng = enhancer.engine
+        # propagate the enhancer's transform choice so streaming output
+        # stays bit-identical to the offline plan when the MXU-matmul DFT
+        # fast path is enabled (dsp/stft.dft_matrices)
+        dm = bool(getattr(enhancer, "dft_matmul", False))
 
         @jax.jit
         def run_block(frames, state, l0, n_valid):
@@ -55,7 +59,7 @@ class StreamingSession:
             # partial tail block reuses the same executable
             mag, phase = analysis_frames(
                 frames, win, s.fftlength, s.pow, s.dc_bin,
-                s.nonzerofloor, s.preemph)
+                s.nonzerofloor, s.preemph, dft_matmul=dm)
             k = frames.shape[0]
             idx = jnp.arange(k, dtype=jnp.int32)
 
@@ -71,7 +75,7 @@ class StreamingSession:
                                      (mag, l0 + idx, idx))
             out = synthesis_frames(
                 xm, phase, s.framelength, s.fftlength, win, s.pow,
-                s.dc_bin_back, s.overlapscale, s.preemph)
+                s.dc_bin_back, s.overlapscale, s.preemph, dft_matmul=dm)
             return out, state
 
         self._run_block = run_block
@@ -93,13 +97,13 @@ class StreamingSession:
             def run_block_fast(frames, state, ptr, l0):
                 mag, phase = analysis_frames(
                     frames, win, s.fftlength, s.pow, s.dc_bin,
-                    s.nonzerofloor, s.preemph)
+                    s.nonzerofloor, s.preemph, dft_matmul=dm)
                 ls = l0 + jnp.arange(frames.shape[0], dtype=jnp.int32)
                 ok = jnp.ones(frames.shape[0], bool)
                 (state, ptr), xm = ba_step((state, ptr), (mag, ls, ok))
                 out = synthesis_frames(
                     xm, phase, s.framelength, s.fftlength, win, s.pow,
-                    s.dc_bin_back, s.overlapscale, s.preemph)
+                    s.dc_bin_back, s.overlapscale, s.preemph, dft_matmul=dm)
                 return out, state, ptr
 
             self._run_block_fast = run_block_fast

@@ -391,3 +391,17 @@ def test_bfloat16_checkpoint_roundtrip(small_enh, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(out.b_d_head, np.float32),
         np.asarray(bf16_state.b_d_head, np.float32))
+
+
+def test_cli_snmf_only_flags_rejected_for_other_algorithms():
+    """--dft-matmul / --max-iter / --block-* configure the SNMF plans
+    only; combining them with another algorithm must error instead of
+    silently ignoring them (review finding)."""
+    with pytest.raises(SystemExit) as e:
+        cli_main(["enhance", "x.wav", "--algorithm", "imcra",
+                  "--dft-matmul"])
+    assert "--dft-matmul" in str(e.value) and "snmf" in str(e.value)
+    with pytest.raises(SystemExit) as e:
+        cli_main(["enhance", "x.wav", "--algorithm", "ms",
+                  "--max-iter", "40"])
+    assert "--max-iter" in str(e.value)

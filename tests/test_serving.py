@@ -157,3 +157,18 @@ def test_reset_lanes_rejects_partial_hold(enh):
     fleet.push(np.ones((2, s.frameshift + 3)))   # leaves a 3-sample hold
     with pytest.raises(RuntimeError, match="hold"):
         fleet.reset_lanes([0])
+
+
+@pytest.mark.slow
+def test_fleet_dft_matmul_matches_single(enh, m03_wav):
+    """dft_matmul propagates into the fleet program (review finding): a
+    fleet over a dft_matmul=True enhancer must match the solo streaming
+    session of the same enhancer bit-for-bit."""
+    enh_dm = SnmfEnhancer(enh.cfg, *enh._bases, dtype=enh.dtype,
+                          matlab_ad_blk_init=False, dft_matmul=True)
+    xs = _lanes(m03_wav, 2, 12000)
+    fleet = MultiStreamSession(enh_dm, 2, block_frames=8)
+    got = np.concatenate([fleet.push(xs), fleet.flush()], axis=1)
+    sess = StreamingSession(enh_dm, block_frames=8)
+    want = np.concatenate([sess.push(xs[0]), sess.flush()])
+    np.testing.assert_array_equal(got[0], want)

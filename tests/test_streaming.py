@@ -94,3 +94,31 @@ def test_block_adaptive_streaming_equals_offline_plan(enh, m03_wav):
     got = np.concatenate([sess.push(x), sess.flush()])
     n = min(len(got), len(want))
     np.testing.assert_array_equal(got[:n], want[:n])
+
+
+@pytest.mark.slow
+def test_dft_matmul_propagates_to_streaming(enh, m03_wav):
+    """An enhancer built with dft_matmul=True must stream through the SAME
+    MXU-matmul transform it uses offline (review finding: the sessions
+    previously fell back to jnp.fft, silently breaking the documented
+    streaming-vs-offline bit-identity for that opt-in configuration)."""
+    import jax.numpy as _jnp
+    x = m03_wav[0][:16000]
+    enh_dm = SnmfEnhancer(enh.cfg, *enh._bases, dtype=enh.dtype,
+                          matlab_ad_blk_init=False, dft_matmul=True)
+    sess = StreamingSession(enh_dm, block_frames=8)
+    # structural proof: the session's compiled block program contains NO
+    # fft op (the matmul transform replaced it); the fft enhancer's does
+    s = enh.cfg.signal
+    ex = (_jnp.zeros((8, s.framelength), enh.dtype), sess.state,
+          _jnp.asarray(1, _jnp.int32), _jnp.asarray(8, _jnp.int32))
+    assert "fft" not in sess._run_block.lower(*ex).as_text()
+    assert "fft" in StreamingSession(enh, block_frames=8)._run_block \
+        .lower(*ex).as_text()
+    # value agreement with the offline dft_matmul plan (bit-identity does
+    # not hold here: an 8-frame block tiles the f64 DFT matmul differently
+    # from the whole-utterance batch, ~1e-12 — unlike the row-wise fft)
+    want = enh_dm.enhance(x, quantize=False)
+    got = np.concatenate([sess.push(x, quantize=False),
+                          sess.flush(quantize=False)])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
