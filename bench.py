@@ -145,6 +145,41 @@ def main() -> None:
         windows.append((time.perf_counter() - t0) / 8)
     mu_elapsed = min(windows)
 
+    # ---- MU roofline (BASELINE.md "speed-of-light" proof): the solve is
+    # HBM-BOUND, not MXU-bound, at these shapes.  Ceiling = the same
+    # while-loop stripped to its two GEMMs (the irreducible data movement:
+    # the (F,n) intermediate must round-trip HBM between the GEMMs every
+    # trip — two matmuls cannot fuse); measured at ~90% of the 819 GB/s
+    # HBM spec on v5e, i.e. the chain IS the attainable shape ceiling.
+    # mu_roofline_frac = full-solver rate / GEMM-chain rate.  The full
+    # analysis (bytes/trip model, VPU cost of the convergence test, why
+    # the Pallas VMEM-resident kernel loses) lives in BASELINE.md.
+    from jax import lax as _lax
+
+    w_norm = w_sep / jnp.sqrt(jnp.sum(w_sep * w_sep, axis=0))[None, :]
+
+    @jax.jit
+    def gemm_chain(h):
+        def body(hh, _):
+            g = jnp.matmul(w_norm, hh, precision=params.lax_precision)
+            g = jnp.matmul(w_norm.T, g, precision=params.lax_precision)
+            return g * jnp.float32(9.5e-3), None
+        hh, _ = _lax.scan(body, h, None, length=params.max_iter)
+        return hh
+
+    hc = gemm_chain(h0s[0])                              # compile
+    float(jnp.sum(hc))
+    windows = []
+    for wdx in range(5):
+        h = h0s[wdx]
+        t0 = time.perf_counter()
+        for _ in range(8):
+            h = _chain(gemm_chain(h))
+        float(jnp.sum(h))
+        windows.append((time.perf_counter() - t0) / 8)
+    mu_ceiling_elapsed = min(windows)
+    mu_roofline_frac = mu_ceiling_elapsed / mu_elapsed
+
     n_loop_iters = params.max_iter                      # exact at eps=0
     n_cols = v.shape[1]
     # a reference "MU iteration" is one H update of one frame column
@@ -228,6 +263,9 @@ def main() -> None:
         "mu_iters_per_s": round(mu_iters_per_s, 0),
         "mu_gemm_tflops": round(achieved_flops / 1e12, 2),
         "mu_gemm_mfu": round(mu_gemm_mfu, 4),
+        "mu_ceiling_tflops": round(
+            n_loop_iters * flops_per_iter / mu_ceiling_elapsed / 1e12, 2),
+        "mu_roofline_frac": round(mu_roofline_frac, 4),
         "mu_solver_shape": f"F={f_bins} r={r} cols={n_cols} iters={n_loop_iters}",
         "stft_frames_per_s": round(stft_frames_per_s, 0),
         "stft_tflops": round(stft_tflops, 2),
