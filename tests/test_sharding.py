@@ -106,6 +106,86 @@ def test_model_sharded_h_solve_matches_unsharded():
     assert not got.h.sharding.is_fully_replicated
 
 
+@pytest.mark.parametrize("beta", [0.0, 2.0])
+def test_model_sharded_h_solve_beta_family(beta):
+    """IS (β=0) and ED (β=2) — the rest of the reference cf map
+    (src/sparse_nmf.m:99-110) — through the same psum'd-Λ TP solve."""
+    from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_h_solve_columns
+    from se_snmf_nat_tpu.parallel.model_shard import (
+        snmf_h_solve_columns_model_sharded)
+
+    mesh = make_mesh((2, 4))
+    rng = np.random.default_rng(int(beta) + 3)
+    f, r, n = 48, 64, 24
+    v = jnp.asarray(rng.random((f, n)) + 0.01)
+    w = jnp.asarray(rng.random((f, r)) + 0.01)
+    h0 = jnp.asarray(rng.random((r, n)) + 0.01)
+    params = SnmfParams(beta=beta, sparsity=2.0, max_iter=40, conv_eps=1e-4,
+                        flr=1e-9, precision="highest")
+    ref = snmf_h_solve_columns(v, w, h0, params)
+    got = snmf_h_solve_columns_model_sharded(v, w, h0, params, mesh)
+    np.testing.assert_allclose(np.asarray(got.h), np.asarray(ref.h),
+                               rtol=1e-8)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(float(got.div), float(ref.div), rtol=1e-8)
+
+
+@pytest.mark.parametrize("beta", [0.0, 1.0, 2.0])
+def test_model_sharded_full_solve_matches_unsharded(beta):
+    """Full W+H TP solve (training / ring-buffer refit analog) equals
+    snmf_solve to summation-order rounding for every reference β."""
+    from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_solve
+    from se_snmf_nat_tpu.parallel.model_shard import snmf_solve_model_sharded
+
+    mesh = make_mesh((2, 4))
+    rng = np.random.default_rng(int(beta) + 11)
+    f, r, n = 40, 32, 96
+    v = jnp.asarray(rng.random((f, n)) + 0.01)
+    w0 = jnp.asarray(rng.random((f, r)) + 0.01)
+    h0 = jnp.asarray(rng.random((r, n)) + 0.01)
+    mask = jnp.ones((r,), bool)
+    params = SnmfParams(beta=beta, sparsity=1.0, max_iter=25, conv_eps=1e-5,
+                        flr=1e-9, precision="highest")
+    ref = snmf_solve(v, w0, h0, mask, mask, params,
+                     update_w=True, update_h=True)
+    got = snmf_solve_model_sharded(v, w0, h0, params, mesh)
+    np.testing.assert_allclose(np.asarray(got.w), np.asarray(ref.w),
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.h), np.asarray(ref.h),
+                               rtol=1e-7)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(float(got.cost), float(ref.cost), rtol=1e-8)
+    assert not got.w.sharding.is_fully_replicated
+
+
+def test_model_sharded_w_refit_masked():
+    """The engine's online W-only dictionary refit
+    (bnmf_sep_event_RT_IS16.m:293-346: W-update on the noise ring buffer,
+    a sub-dictionary mask selecting which atoms move) under TP: masked
+    sharded refit equals the masked unsharded snmf_solve."""
+    from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_solve
+    from se_snmf_nat_tpu.parallel.model_shard import snmf_solve_model_sharded
+
+    mesh = make_mesh((2, 4))
+    rng = np.random.default_rng(7)
+    f, r, n = 40, 32, 64
+    v = jnp.asarray(rng.random((f, n)) + 0.01)
+    w0 = jnp.asarray(rng.random((f, r)) + 0.01)
+    h0 = jnp.asarray(rng.random((r, n)) + 0.01)
+    w_mask = jnp.asarray(rng.random((r,)) > 0.4)
+    h_mask = jnp.ones((r,), bool)
+    params = SnmfParams(beta=1.0, sparsity=5.0, max_iter=30, conv_eps=1e-4,
+                        flr=1e-9, precision="highest")
+    ref = snmf_solve(v, w0, h0, w_mask, h_mask, params,
+                     update_w=True, update_h=False)
+    got = snmf_solve_model_sharded(v, w0, h0, params, mesh,
+                                   w_mask=w_mask, h_mask=h_mask,
+                                   update_w=True, update_h=False)
+    np.testing.assert_allclose(np.asarray(got.w), np.asarray(ref.w),
+                               rtol=1e-8)
+    assert int(got.iters) == int(ref.iters)
+
+
 def test_model_sharded_rank_guard():
     from se_snmf_nat_tpu.nmf.solver import SnmfParams
     from se_snmf_nat_tpu.parallel.model_shard import (
