@@ -27,37 +27,29 @@ def main() -> None:
     from se_snmf_nat_tpu.config import default_config
     from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
     from se_snmf_nat_tpu.io.wavio import read_wav_int16
-    from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
 
     cfg = default_config()
     speech, noise = load_reference_speech_noise(cfg.sep.r_d)
     x, fs = read_wav_int16("/root/reference/wav/M03_423C0213_STR.CH6.wav")
 
-    # production throughput plan: block-adaptive refits at K=48
-    # (frame_bucket=192 keeps the same padding as the default 128 bucket
-    # on these lengths) with the MU loops capped at 40 iterations — the
-    # fastest point on the measured speed/quality surface that still
-    # clears the golden corr>0.99 gate on BOTH fixtures.
-    # K sweep (r2, real chip, cap off): K=16 corr .9966/.9963 (identical
-    # to exact refits) 4459 au-s/s, K=32 .9941/.9961 5870, K=48
-    # .9930/.9949 6385, K=64 .9876 FAILS M03 (6515).  Iteration-cap sweep
-    # at K=48 (only ~1% of columns run past iteration 31; they drag every
-    # batched while_loop to max_iter): cap 32 corr .9931/.9949 6657,
-    # cap 40 .9930/.9946 6762, cap 64 .9930/.9949 6647 — quality is
-    # cap-invariant, cap 40 is the speed optimum.
-    # dft_matmul: STFT/iSTFT as 'highest'-precision MXU matmuls instead of
-    # XLA's TPU rfft custom call — measured +28% end-to-end (6926 -> 8846
-    # au-s/s) at unchanged golden quality (corr .9925/.9940 vs .9923/.9958;
-    # the matmul transform is itself CLOSER to the f64 FFT than XLA's rfft,
-    # dsp/stft.dft_matrices docstring)
-    enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
-                       noise.b_dft, dtype=jnp.float32, block_adapt=48,
-                       frame_bucket=192, block_iter_cap=40, dft_matmul=True)
+    # production throughput plan: the Pareto pick from `bench --pareto`
+    # (PARETO_r03.json) — the fastest block-adaptive point whose golden
+    # corr clears the 0.99 gate on BOTH fixtures with >=0.003 margin.
+    # Defined ONCE in headline.py; `bench --scaling`/`--campaign` build
+    # the identical enhancer.  dft_matmul: STFT/iSTFT as
+    # 'highest'-precision MXU matmuls instead of XLA's TPU rfft custom
+    # call — measured +28% end-to-end at unchanged golden quality (the
+    # matmul transform is itself CLOSER to the f64 FFT than XLA's rfft,
+    # dsp/stft.dft_matrices docstring).
+    from se_snmf_nat_tpu.headline import (
+        HEADLINE_BATCH, HEADLINE_PLAN, build_headline_enhancer)
+
+    enh = build_headline_enhancer(cfg)
     true_frames = enh.frames_for(x)
     n_true = true_frames.shape[0]
     frames = enh._pad_frames(true_frames)
 
-    batch_size = 64
+    batch_size = HEADLINE_BATCH
     batch = jnp.asarray(np.stack([frames] * batch_size), jnp.float32)
     states = jax.tree.map(
         lambda a: jnp.broadcast_to(a, (batch_size,) + a.shape),
@@ -258,7 +250,11 @@ def main() -> None:
     print(json.dumps({
         "metric": "audio_seconds_per_s_per_chip",
         "value": round(value_per_chip, 2),
-        "unit": "audio-s/s/chip (adaptive SNMF-NAT enhancement, block-adaptive K=48 cap40, MXU-DFT, f32, B=64)",
+        "unit": "audio-s/s/chip (adaptive SNMF-NAT enhancement, "
+                f"block-adaptive K={HEADLINE_PLAN['block_adapt']} "
+                f"cap{HEADLINE_PLAN['block_iter_cap']} "
+                f"bucket{HEADLINE_PLAN['frame_bucket']}, MXU-DFT, f32, "
+                f"B={batch_size})",
         "vs_baseline": round(value_per_chip / 100.0, 3),
         "mu_iters_per_s": round(mu_iters_per_s, 0),
         "mu_gemm_tflops": round(achieved_flops / 1e12, 2),

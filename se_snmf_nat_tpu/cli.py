@@ -611,13 +611,15 @@ def cmd_bench(args) -> int:
         # Speed/quality Pareto surface of the block-adaptive production
         # plan: K (refit block) x MU iteration cap, MXU-matmul DFT, B=64,
         # bucket 192 (a multiple of every K so padding is comparable).
-        # Each grid point costs ONE compile: the two golden fixtures ride
-        # as lanes 0/1 of the same masked 64-lane batch that is timed
-        # (batch==single is x64-gated, test_engine), so the corr/LSD vs
-        # the committed golden wavs come from the very program measured.
-        # The headline pick requires >=headline-margin corr above the .99
-        # gate on BOTH fixtures (tests/test_oracle.py) — the artifact this
-        # emits is the justification for bench.py's configuration.
+        # Throughput is timed on an all-M03 batch (the bench.py load —
+        # mixing the 17.7 s LM fixture into the batch would pad every
+        # 3.4 s M03 lane 5x and corrupt the measure); M03 quality comes
+        # from lane 0 of that same timed program (batch==single is
+        # x64-gated, test_engine) and LM quality from a single-utterance
+        # call of the same plan.  The headline pick requires
+        # >=headline-margin corr above the .99 gate on BOTH fixtures
+        # (tests/test_oracle.py) — the artifact this emits is the
+        # justification for bench.py's configuration.
         import time as _time
         import jax
         import jax.numpy as jnp
@@ -646,30 +648,29 @@ def cmd_bench(args) -> int:
         delay = cfg.delay
         rows = []
         margin_req = args.headline_margin
-        for k_blk in (16, 32, 48):
-            for cap in (32, 40, 100):
+        # base grid at bucket 192 (a common multiple of every K), plus
+        # padding-tuned extra points: the bench fixture is 347 frames, so
+        # bucket 192 pads it to 384 (+10.7%) — K=36/bucket 180 pads to 360
+        # and K=32/bucket 32 to 352, trading compile sharing granularity
+        # (one executable per 32-frame length class instead of per 192)
+        # for less dead compute
+        points = [(k, cap, 192) for k in (16, 32, 48)
+                  for cap in (32, 40, 100)]
+        points += [(36, 32, 180), (32, 32, 32), (44, 32, 176)]
+        for k_blk, cap, bucket in points:
                 enh = SnmfEnhancer(
                     cfg, speech.b_dft, noise.b_dft, speech.b_dft,
                     noise.b_dft, dtype=jnp.float32, block_adapt=k_blk,
-                    frame_bucket=192, block_iter_cap=cap, dft_matmul=True)
-                # lanes 0/1 = the fixtures; the rest replicate M03 (the
-                # bench.py load) — masked padding makes lengths mix freely
-                lane_x = [waves[0][0], waves[1][0]] \
-                    + [waves[0][0]] * (batch_size - 2)
-                lane_frames = [enh._pad_frames(enh.frames_for(xx))
-                               for xx in lane_x]
-                t_true = np.asarray([enh.frames_for(xx).shape[0]
-                                     for xx in lane_x], np.int32)
-                t_max = max(f.shape[0] for f in lane_frames)
-                batch = np.zeros(
-                    (batch_size, t_max, lane_frames[0].shape[1]), np.float32)
-                for i, f in enumerate(lane_frames):
-                    batch[i, : f.shape[0]] = f
-                batch = jnp.asarray(batch)
+                    frame_bucket=bucket, block_iter_cap=cap, dft_matmul=True)
+                x_m03 = waves[0][0]
+                frames = enh._pad_frames(enh.frames_for(x_m03))
+                t_true = enh.frames_for(x_m03).shape[0]
+                batch = jnp.asarray(np.stack([frames] * batch_size),
+                                    np.float32)
                 states = jax.tree.map(
                     lambda a: jnp.broadcast_to(a, (batch_size,) + a.shape),
                     enh.initial_state())
-                tv = jnp.asarray(t_true)
+                tv = jnp.full((batch_size,), t_true, jnp.int32)
                 ys, _ = enh._block_run_batch(batch, states, enh.win, tv)
                 jax.block_until_ready(ys)          # compile + warmup
                 n_rep = 12
@@ -681,17 +682,20 @@ def cmd_bench(args) -> int:
                                                      enh.win, tv)
                     float(jnp.sum(ys))             # closes the window
                     windows.append((_time.perf_counter() - t0) / n_rep)
-                audio_s = float(sum(len(xx) for xx in lane_x)) / fs
-                row = {"k": k_blk, "cap": cap,
+                audio_s = batch_size * len(x_m03) / fs
+                row = {"k": k_blk, "cap": cap, "bucket": bucket,
+                       "frames_padded": int(frames.shape[0]),
                        "audio_s_per_s": round(audio_s / min(windows), 1)}
-                ysn = np.asarray(ys)
+                # M03 quality from lane 0 of the timed program; LM quality
+                # from a single-utterance call of the same plan
+                start = delay * shift
+                emit = np.asarray(ys)[0, start: start
+                                      + (t_true - delay) * shift]
+                outs = [enhanced_quantize(emit).astype(np.float64),
+                        enh.enhance(waves[1][0]).astype(np.float64)]
                 corrs = []
                 for i, (name, _, _) in enumerate(fixtures):
-                    start = delay * shift
-                    emit = ysn[i, start: start
-                               + (int(t_true[i]) - delay) * shift]
-                    yq = enhanced_quantize(emit).astype(np.float64)
-                    g = waves[i][1]
+                    yq, g = outs[i], waves[i][1]
                     n = min(len(yq), len(g))
                     corr = float(np.corrcoef(yq[:n], g[:n])[0, 1])
                     corrs.append(corr)
@@ -876,20 +880,24 @@ def cmd_bench(args) -> int:
         print(json.dumps(measure_serving_capacity(enh)))
         return 0
     if args.scaling:
-        import jax.numpy as jnp
-        from se_snmf_nat_tpu.config import default_config
-        from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
+        from se_snmf_nat_tpu.headline import build_headline_enhancer
         from se_snmf_nat_tpu.io.wavio import read_wav_int16
         from se_snmf_nat_tpu.parallel.scaling import measure_dp_scaling
-        from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
-        cfg = default_config()
-        speech, noise = load_reference_speech_noise(cfg.sep.r_d)
         x, fs = read_wav_int16(
             "/root/reference/wav/M03_423C0213_STR.CH6.wav")
-        enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
-                           noise.b_dft, dtype=jnp.float32)
+        # the PRODUCTION block-adaptive plan (headline.py) — the r2
+        # artifact measured the exact scan here and under-reported ~20x
+        enh = build_headline_enhancer()
         print(json.dumps(measure_dp_scaling(
             enh, x, fs, per_device_batch=args.per_device_batch)))
+        return 0
+    if args.collectives:
+        # compiled-HLO collective audit on the current device set (run
+        # under the virtual CPU mesh for the 8-way table): the per-step
+        # interconnect bytes of every parallel program (SCALING artifact)
+        from se_snmf_nat_tpu.parallel.collectives_audit import audit_all
+        print(json.dumps(audit_all(
+            per_device_batch=max(1, args.per_device_batch // 8))))
         return 0
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import bench
@@ -1116,6 +1124,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "enhance_batch INCLUDING host<->device transfers) "
                         "for the SNMF/MS/IMCRA batch entries")
     b.add_argument("--campaign-batch", type=int, default=64)
+    b.add_argument("--collectives", action="store_true",
+                   help="compiled-HLO collective audit of every parallel "
+                        "program (per-step interconnect bytes)")
     b.add_argument("--pareto", action="store_true",
                    help="capture the K x iter-cap speed/quality Pareto "
                         "surface of the block-adaptive plan (golden corr "

@@ -38,6 +38,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 def main() -> None:
     proc_id = int(os.environ["PROC_ID"])
     port = os.environ["COORD_PORT"]
+    n_procs = int(os.environ.get("N_PROCS", "2"))
+    n_global = 2 * n_procs
 
     from se_snmf_nat_tpu.parallel.distributed import (
         init_multihost, merged_dictionary_state, shard_files_for_host)
@@ -46,15 +48,15 @@ def main() -> None:
         _kl_mu_step_local, make_distributed_train_step)
 
     info = init_multihost(coordinator_address=f"localhost:{port}",
-                          num_processes=2, process_id=proc_id)
-    assert info["process_count"] == 2, info
-    assert info["global_devices"] == 4, info
+                          num_processes=n_procs, process_id=proc_id)
+    assert info["process_count"] == n_procs, info
+    assert info["global_devices"] == n_global, info
     assert info["local_devices"] == 2, info
 
     files = [f"u{i}.wav" for i in range(10)]
     my_files = shard_files_for_host(files)
 
-    mesh = make_mesh((4, 1))  # global mesh over both processes' devices
+    mesh = make_mesh((n_global, 1))  # global mesh over every process
 
     # --- distributed train step vs single-process math (identical inputs
     # generated deterministically on every process)
@@ -100,9 +102,9 @@ def main() -> None:
                              jnp.float64, matlab_ad_blk_init=False)
 
     def head_shard(idx):
-        # idx is the global slice tuple for a (4, ...) sharded leaf
+        # idx is the global slice tuple for an (n_global, ...) sharded leaf
         start = idx[0].start or 0
-        shape = (len(range(*idx[0].indices(4))),) + base.b_d_head.shape
+        shape = (len(range(*idx[0].indices(n_global))),) + base.b_d_head.shape
         vals = np.stack([np.full(base.b_d_head.shape, float(start + i))
                          for i in range(shape[0])])
         return jnp.asarray(vals)
@@ -110,14 +112,55 @@ def main() -> None:
     leading = NamedSharding(mesh, P("data"))
     states = jax.tree.map(
         lambda a: globalize(
-            np.broadcast_to(np.asarray(a), (4,) + np.asarray(a).shape),
+            np.broadcast_to(np.asarray(a), (n_global,) + np.asarray(a).shape),
             leading),
         base)
     states = states._replace(b_d_head=jax.make_array_from_callback(
-        (4,) + base.b_d_head.shape, leading, head_shard))
+        (n_global,) + base.b_d_head.shape, leading, head_shard))
     merged = merged_dictionary_state(states, mesh)
     local = np.asarray(merged.b_d_head.addressable_shards[0].data)
-    merge_ok = bool(np.allclose(local, 1.5, atol=0, rtol=0))  # mean(0..3)
+    merge_ok = bool(np.allclose(local, (n_global - 1) / 2.0,
+                                atol=0, rtol=0))  # mean(0..n_global-1)
+
+    # --- block-adaptive DP enhancement under REAL multi-process sharding:
+    # the PRODUCTION plan family (stream/block_adaptive.py) compiled over a
+    # global 'data' mesh, one lane per device; every process checks its
+    # addressable output lanes against the locally-computed single-lane
+    # block program (vmap only adds the lane axis, so x64 agreement is to
+    # rounding of the identical op sequence)
+    from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
+    from se_snmf_nat_tpu.io.wavio import read_wav_int16
+    from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+
+    speech, noise = load_reference_speech_noise(cfg.sep.r_d)
+    x, _fs = read_wav_int16("/root/reference/wav/M03_423C0213_STR.CH6.wav")
+    x = x[:3200]
+    enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                       noise.b_dft, dtype=jnp.float64, block_adapt=16,
+                       frame_bucket=16)
+    frames = np.asarray(enh._pad_frames(enh.frames_for(x)), np.float64)
+    t_true = enh.frames_for(x).shape[0]
+    batch_g = jax.make_array_from_callback(
+        (n_global,) + frames.shape, NamedSharding(mesh, P("data")),
+        lambda idx: jnp.asarray(
+            np.broadcast_to(frames, (len(range(*idx[0].indices(n_global))),)
+                            + frames.shape)))
+    states_b = jax.tree.map(
+        lambda a: globalize(
+            np.broadcast_to(np.asarray(a), (n_global,) + np.asarray(a).shape),
+            leading),
+        enh.initial_state())
+    tv_g = globalize(np.full((n_global,), t_true, np.int32), leading)
+    ys, _ = enh._block_run_batch(batch_g, states_b, enh.win, tv_g)
+    y_single, _ = enh._block_run(jnp.asarray(frames), enh.initial_state(),
+                                 enh.win, jnp.asarray(t_true, jnp.int32))
+    y_single = np.asarray(y_single)
+    dp_err = 0.0
+    for sh in ys.addressable_shards:
+        lanes = np.asarray(sh.data)
+        for lane in lanes:
+            dp_err = max(dp_err, float(np.max(np.abs(lane - y_single))))
+    dp_ok = dp_err < 1e-9
 
     print(json.dumps({
         "proc": proc_id,
@@ -127,6 +170,8 @@ def main() -> None:
         "merge_ok": merge_ok,
         "merged_head_value": float(local.ravel()[0]),
         "w_hash": float(np.asarray(w_dist).sum()),
+        "dp_block_ok": dp_ok,
+        "dp_block_err": dp_err,
     }))
 
 

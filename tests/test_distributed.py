@@ -27,13 +27,15 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_distributed():
+@pytest.mark.parametrize("n_procs", [2, 4])
+def test_multi_process_distributed(n_procs):
     port = _free_port()
     procs = []
-    for pid in range(2):
+    for pid in range(n_procs):
         env = dict(os.environ)
         env.update({
             "PROC_ID": str(pid),
+            "N_PROCS": str(n_procs),
             "COORD_PORT": str(port),
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
@@ -46,7 +48,7 @@ def test_two_process_distributed():
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=300)
+            out, err = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -55,15 +57,18 @@ def test_two_process_distributed():
         outs.append(json.loads(out.strip().splitlines()[-1]))
 
     by_proc = {o["proc"]: o for o in outs}
-    assert set(by_proc) == {0, 1}
+    assert set(by_proc) == set(range(n_procs))
     # disjoint, complete file sharding (round-robin)
-    f0, f1 = set(by_proc[0]["files"]), set(by_proc[1]["files"])
-    assert not (f0 & f1)
-    assert f0 | f1 == {f"u{i}.wav" for i in range(10)}
+    shards = [set(by_proc[i]["files"]) for i in range(n_procs)]
+    assert sum(len(s) for s in shards) == 10
+    assert set.union(*shards) == {f"u{i}.wav" for i in range(10)}
     for o in outs:
         assert o["train_ok"], o
         assert o["merge_ok"], o
-    # both processes computed the SAME merged dictionary and weights —
+        # the block-adaptive production plan under real multi-process
+        # sharding reproduces the single-lane program on every process
+        assert o["dp_block_ok"], o
+    # every process computed the SAME merged dictionary and weights —
     # deterministic collective merge, no read-modify-write race
-    assert by_proc[0]["merged_head_value"] == by_proc[1]["merged_head_value"]
-    assert by_proc[0]["w_hash"] == by_proc[1]["w_hash"]
+    assert len({o["merged_head_value"] for o in outs}) == 1
+    assert len({o["w_hash"] for o in outs}) == 1

@@ -58,22 +58,25 @@ def _block_plan_output(x, reference_bases, k_block, dft_matmul=False):
     import jax.numpy as jnp
     from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
     speech, noise = reference_bases
-    # bucket must be a K multiple; 192 is the headline (K=48) production
-    # bucket — padding frames are inert, so the choice only sets compile
-    # sharing, not output (test_block_adaptive_padding_inert).  The K=48
-    # rows gate the FULL headline configuration including the 40-iteration
-    # MU cap and the MXU-matmul DFT (bench.py); K=16/32 stay uncapped
+    if k_block == "headline":
+        # the FULL production configuration (headline.py: K/cap/bucket
+        # Pareto pick + MXU-matmul DFT) — exactly what bench.py measures
+        from se_snmf_nat_tpu.headline import build_headline_enhancer
+        return build_headline_enhancer().enhance(x)
+    # bucket must be a K multiple — padding frames are inert, so the
+    # choice only sets compile sharing, not output
+    # (test_block_adaptive_padding_inert); K=16/32/48 stay uncapped
     # (reference max_iter=100).
     bucket = 192 if k_block == 48 else 128
-    cap = 40 if k_block == 48 else 0
     enh = SnmfEnhancer(default_config(), speech.b_dft, noise.b_dft,
                        speech.b_dft, noise.b_dft, dtype=jnp.float32,
                        block_adapt=k_block, frame_bucket=bucket,
-                       block_iter_cap=cap, dft_matmul=dft_matmul)
+                       dft_matmul=dft_matmul)
     return enh.enhance(x)
 
 
-_BLOCK_PLAN_POINTS = [(16, False), (32, False), (48, False), (48, True)]
+_BLOCK_PLAN_POINTS = [(16, False), (32, False), (48, False),
+                      ("headline", True)]
 
 
 @pytest.mark.slow
@@ -81,17 +84,20 @@ _BLOCK_PLAN_POINTS = [(16, False), (32, False), (48, False), (48, True)]
 def test_block_plan_matches_golden_m03(reference_bases, m03_wav, m03_golden,
                                        k_block, dft_matmul):
     """The SHIPPED f32 block-adaptive plans gate against the golden wav, not
-    just the float64 oracle: (48, dft_matmul) is the headline bench point,
-    K=16 the quality-identical-to-exact point (r2 sweep, bench.py).  Prefix
-    exactness is not gated: the block plan's adaptation lags up to K frames
-    by design (stream/block_adaptive.py docstring)."""
+    just the float64 oracle: 'headline' is the full bench.py production
+    point (headline.py), K=16 the quality-identical-to-exact point (r2
+    sweep, bench.py).  The headline point must clear the gate with >=0.003
+    margin (PARETO_r03.json policy: one quality wobble must not turn the
+    suite red).  Prefix exactness is not gated: the block plan's adaptation
+    lags up to K frames by design (stream/block_adaptive.py docstring)."""
     x, _ = m03_wav
     ref, _ = m03_golden
     out = _block_plan_output(x, reference_bases, k_block, dft_matmul)
     assert len(out) == len(ref)
     d = out.astype(np.int64) - ref.astype(np.int64)
     corr = np.corrcoef(out, ref)[0, 1]
-    assert corr > 0.99, corr   # measured .9963/.9941/.9930/.9925(matmul)
+    gate = 0.993 if k_block == "headline" else 0.99
+    assert corr > gate, corr   # measured .9963/.9941/.9930/.9948(headline)
     assert np.abs(d).mean() < 200.0          # measured 75.2 (K16)
 
 
@@ -105,7 +111,8 @@ def test_block_plan_matches_golden_lm(reference_bases, lm_wav, lm_golden,
     assert len(out) == len(ref)
     d = out.astype(np.int64) - ref.astype(np.int64)
     corr = np.corrcoef(out, ref)[0, 1]
-    assert corr > 0.99, corr   # measured .9958/.9961/.9946/.9940(matmul)
+    gate = 0.993 if k_block == "headline" else 0.99
+    assert corr > gate, corr   # measured .9958/.9961/.9946/.9954(headline)
     assert np.abs(d).mean() < 120.0          # measured 48.7 (K16)
 
 
