@@ -162,11 +162,9 @@ def audit_all(per_device_batch: int = 2) -> dict:
     from se_snmf_nat_tpu.parallel.distributed import merged_dictionary_state
     merge_jit = jax.jit(lambda st: merged_dictionary_state(st, mesh))
     rep = audit_compiled(merge_jit, states)
-    head_bytes = int(np.prod(enh.initial_state().b_d_head.shape)) * 4 * b
     out["pmean_dictionary_merge"] = {
         **rep.summary(),
-        "per": "one merge per campaign (or per checkpoint interval)",
-        "expected_bytes_head": head_bytes}
+        "per": "one merge per campaign (or per checkpoint interval)"}
 
     # --- 3. distributed MU train step (n_iter inside one program)
     from se_snmf_nat_tpu.parallel.train_step import (
@@ -183,7 +181,8 @@ def audit_all(per_device_batch: int = 2) -> dict:
     rep = audit_compiled(step, v, w, h)
     out["train_step_4iter"] = {
         **rep.summary(),
-        "per": "4 MU iterations (2 psums/iter: (F,R) f64 + (R,) f64)",
+        "per": "bytes are PER LOOP BODY (executed once per MU iteration): "
+               "XLA fuses the (F,R)+(R,) psums into one all-reduce",
         "shape": f"F={f} r={r} T={t}"}
 
     # --- 4. TP activation solve (model axis)
