@@ -81,13 +81,20 @@ def _normalize_plus_eps(b: np.ndarray) -> np.ndarray:
 def train_event_basis(
     features: TrainingFeatures, cfg: PipelineConfig, r: int, *,
     dtype=jnp.float32, kmeans_rng: np.random.Generator | None = None,
+    exemplar_seed: int = 1,
 ) -> BasisTrainResult:
-    """Train one event class's (DFT, mel) dictionary pair from features."""
+    """Train one event class's (DFT, mel) dictionary pair from features.
+
+    ``exemplar_seed``: seed of the exemplar column draw (reference default
+    rng(1), run_basis_train.m:80).  Varying it measures the output spread
+    the draw itself induces — the envelope that bounds the documented
+    non-bit-equality vs MATLAB's randsample (PARITY.md; gated by
+    tests/test_train.py::test_exemplar_draw_envelope)."""
     t = features.tf_mag.shape[1]
     count = cfg.train.cluster_buff * r
     if count > t:
         raise ValueError(f"need >= {count} frames, got {t}")
-    idx = exemplar_sample_idx(t, count, seed=1)
+    idx = exemplar_sample_idx(t, count, seed=exemplar_seed)
     b_dft = features.tf_mag[:, idx]
     b_mel = features.tf_mel[:, idx]
 

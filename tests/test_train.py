@@ -191,3 +191,62 @@ def test_exemplar_cluster_reduction_e2e(train_cfg, features):
     for col in res.basis.b_dft.T:
         dists = np.abs(full - col[:, None]).sum(0)
         assert dists.min() < 1e-9
+
+
+@pytest.mark.slow
+def test_exemplar_draw_envelope(tmp_path, m03_wav, reference_bases):
+    """Bound the documented randsample deviation (PARITY.md): the exemplar
+    column draw is the only unreproducible step vs the reference
+    (MATLAB randsample's RNG consumption is undocumented), so the honest
+    bound on 'our exemplar checkpoint vs a reference one' is the output
+    spread ACROSS draws — the reference's own outputs move within the same
+    envelope when its session RNG differs.  Trains exemplar noise
+    dictionaries with three draw seeds, enhances the same clip, and gates
+    the spread: identical seed -> identical output (determinism), distinct
+    seeds -> distinct but tightly correlated outputs."""
+    from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+    from se_snmf_nat_tpu.train.basis import train_event_basis
+
+    x, fs = m03_wav
+    speech, _ = reference_bases
+    # noise training material: the noise-dominated head of the CHiME clip
+    write_wav_int16(tmp_path / "noise.wav",
+                    x[:24000].astype(np.int16), fs)
+    cfg = default_config()
+    r = 32
+    # cluster_buff=2 is the production exemplar path (over-draw 2R then
+    # k-means-reduce, run_basis_train.m:84-98) — the reduction averages
+    # out much of the draw variance, so this measures the envelope of the
+    # pipeline as actually shipped
+    cfg = cfg.evolve(
+        train=replace(cfg.train, train_exemplar=True, cluster_buff=2),
+        sep=replace(cfg.sep, r_x=r, r_d=r),
+        adapt=replace(cfg.adapt, r_a=16, m_a=20),
+    )
+    seq, _ = build_training_sequence(tmp_path, cfg, shuffle=False)
+    feats = training_features(seq, cfg, dc_bin=cfg.signal.dc_bin)
+    b_x = speech.b_dft[:, :r]
+    clip = x[24000:36000].astype(np.float64)
+
+    outs = {}
+    for seed in (1, 1, 2, 3):
+        res = train_event_basis(feats, cfg, r, dtype=jnp.float64,
+                                exemplar_seed=seed)
+        b_d = res.basis.b_dft
+        enh = SnmfEnhancer(cfg, b_x, b_d, b_x, b_d,
+                           dtype=jnp.float64, matlab_ad_blk_init=False)
+        y = enh.enhance(clip).astype(np.float64)
+        outs.setdefault(seed, []).append(y)
+
+    # determinism: the same draw reproduces bit-identically
+    np.testing.assert_array_equal(outs[1][0], outs[1][1])
+    # spread across draws: distinct, but inside a tight envelope — the
+    # measured corr floor documents the randsample reproduction bound
+    pairs = [(1, 2), (1, 3), (2, 3)]
+    corrs = []
+    for a, b in pairs:
+        ya, yb = outs[a][0], outs[b][0]
+        assert not np.array_equal(ya, yb)
+        corrs.append(float(np.corrcoef(ya, yb)[0, 1]))
+    print("exemplar draw envelope corrs:", corrs)
+    assert min(corrs) > 0.95, corrs
