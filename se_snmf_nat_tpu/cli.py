@@ -309,13 +309,17 @@ def cmd_demo(args) -> int:
         arecord -f S16_LE -r 16000 -c 1 | \\
             python -m se_snmf_nat_tpu demo - --pcm-out > enhanced.pcm
 
+    Input 'mic' captures in-process instead (the SE_GUI.m:374
+    dsp.AudioRecorder role) via the optional sounddevice/PortAudio
+    dependency (io/capture.py); the stdin path stays the default story.
+
     --pcm-out streams enhanced hops to stdout as raw int16 as they are
     produced (telemetry JSON then goes to stderr)."""
     import time
     import numpy as np
     from se_snmf_nat_tpu.io.wavio import read_wav_int16, write_wav_int16
 
-    live = args.input == "-"
+    live = args.input in ("-", "mic")
     if live:
         fs = args.live_rate
     else:
@@ -325,7 +329,12 @@ def cmd_demo(args) -> int:
     report_stream = sys.stderr if args.pcm_out else sys.stdout
 
     def hop_source():
-        if live:
+        if args.input == "mic":
+            # in-process capture (SE_GUI.m dsp.AudioRecorder role) —
+            # optional sounddevice dependency, gated in io/capture.py
+            from se_snmf_nat_tpu.io.capture import mic_hops
+            yield from mic_hops(fs, hop)
+        elif live:
             while True:
                 buf = sys.stdin.buffer.read(hop * 2)
                 if len(buf) < hop * 2:
@@ -1089,7 +1098,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.set_defaults(fn=cmd_serve)
 
     dm = sub.add_parser("demo", help="simulated real-time streaming demo")
-    dm.add_argument("input")
+    dm.add_argument("input",
+                    help="wav path, '-' (stdin raw int16 PCM), or 'mic' "
+                         "(in-process capture via optional sounddevice)")
     dm.add_argument("-o", "--output")
     dm.add_argument("--mode", default="snmf",
                     choices=["snmf", "snmf-fixed", "ms", "bnmf"])
