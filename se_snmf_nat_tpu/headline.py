@@ -15,15 +15,18 @@ and the margins are in the artifact).
 
 from __future__ import annotations
 
-# PARETO_r03.json pick: K=44, cap 32, bucket 176 — 8986 au-s/s at golden
-# corr .9948 (M03) / .9954 (LM), margin .0048 over the gate.  Ties the old
-# K=48 point's throughput (8990) at double its quality margin: bucket 176
-# pads the 347-frame bench fixture to 352 instead of 384 (-8% dead
-# compute), paying for K=44's 9% more refits.
+# PARETO_r03.json pick: K=44, cap 32, bucket 176, refit cap 24 —
+# ~9000 au-s/s at golden corr .9948 (M03) / .9954 (LM), margin .0048 over
+# the gate.  Ties the old K=48 point's throughput at double its quality
+# margin: bucket 176 pads the 347-frame bench fixture to 352 instead of
+# 384 (-8% dead compute), paying for K=44's 9% more refits.  The refit
+# W-solve cap is output-identical on both fixtures (refits converge well
+# under 24 iterations; the cap only trims straggler loop trips).
 HEADLINE_PLAN = dict(
     block_adapt=44,
     frame_bucket=176,
     block_iter_cap=32,
+    block_refit_cap=24,
     dft_matmul=True,
 )
 HEADLINE_BATCH = 64

@@ -99,13 +99,22 @@ def measure_serving_capacity(enh, fleet_sizes=(1, 8, 32, 64, 128, 256),
     s = enh.cfg.signal
     rng = np.random.default_rng(0)
     blocks = []
-    for bf in block_frames_grid:
+    # (block_frames, pipelined) grid: pipelining overlaps the PCM fetch of
+    # tick n-1 with tick n's upload+compute (one extra block of latency,
+    # so its effective end-to-end latency tier is ~2 blocks)
+    grid = [(bf, False) for bf in block_frames_grid]
+    if wire == "samples":
+        grid.append((block_frames_grid[0], True))
+    for bf, pipelined in grid:
         tick_samples = bf * s.frameshift
         deadline_ms = tick_samples / s.fs * 1e3
         rows = []
         for b in fleet_sizes:
-            fleet = MultiStreamSession(enh, b, block_frames=bf, wire=wire)
-            x = rng.standard_normal((b, tick_samples)) * 2000.0
+            fleet = MultiStreamSession(enh, b, block_frames=bf, wire=wire,
+                                       pipeline_ticks=pipelined)
+            # integer-valued synthetic audio: real captures are int16
+            # PCM, which the samples wire uploads at 2 bytes/sample
+            x = np.rint(rng.standard_normal((b, tick_samples)) * 2000.0)
             for _ in range(3):                      # compile + warm
                 fleet.push(x)
             laps = []
@@ -117,8 +126,9 @@ def measure_serving_capacity(enh, fleet_sizes=(1, 8, 32, 64, 128, 256),
             rows.append({"fleet": int(b), "tick_ms": round(tick_ms, 2),
                          "real_time": bool(tick_ms < deadline_ms)})
         ok = [r["fleet"] for r in rows if r["real_time"]]
-        blocks.append({"block_frames": bf,
+        blocks.append({"block_frames": bf, "pipelined": pipelined,
                        "deadline_ms": round(deadline_ms, 1),
+                       "latency_blocks": 2 if pipelined else 1,
                        "max_real_time_fleet": max(ok) if ok else 0,
                        "table": rows})
     return {"wire": wire,

@@ -56,7 +56,8 @@ class MultiStreamSession:
 
     def __init__(self, enhancer, n_streams: int, states=None,
                  block_frames: int = 1, use_block_adaptive: bool = False,
-                 mesh=None, wire: str = "frames"):
+                 mesh=None, wire: str = "frames",
+                 pipeline_ticks: bool = False):
         self.enh = enhancer
         self.n = int(n_streams)
         s = enhancer.cfg.signal
@@ -174,6 +175,15 @@ class MultiStreamSession:
         # carried queue; external queue zeroing (flush semantics,
         # zero_queue_rows) mid-block breaks that equivalence -> fall back
         self._chain_broken = False
+        # cross-tick pipelining (samples wire only): push returns the
+        # PREVIOUS tick's audio while the current tick is in flight —
+        # the fetch round-trip hides under the next upload+compute, at
+        # one block of added latency.  Values are identical, just lagged
+        # (flush/drain settle the final tick); gated in tests/test_serving.
+        if pipeline_ticks and wire != "samples":
+            raise ValueError("pipeline_ticks requires wire='samples'")
+        self._pipeline = bool(pipeline_ticks)
+        self._inflight = None
         if wire == "samples":
             if use_block_adaptive:
                 raise ValueError("wire='samples' runs the exact engine; "
@@ -186,7 +196,11 @@ class MultiStreamSession:
             def run_one_samples(hops, queue, acc, state, l0):
                 # hops (K, shift) -> frames via the carried queue; the
                 # engine scan is run_one (identical program); OLA emits
-                # one shift chunk per frame, exactly the host loop below
+                # one shift chunk per frame, exactly the host loop below.
+                # hops may arrive as int16 (integer-valued PCM uploads at
+                # 2 bytes/sample — the cast to compute dtype is exact)
+                hops = hops.astype(queue.dtype)
+
                 def fstep(q, hop):
                     q = jnp.concatenate([q[shift:], hop])
                     return q, q
@@ -241,23 +255,68 @@ class MultiStreamSession:
                 self._acc_dev = self._shard_in(
                     jnp.asarray(self._acc, self.enh.dtype))
                 self._dev_synced = True
+            # integer-valued PCM (every real int16 capture) uploads as
+            # int16 — half the wire bytes; the in-graph cast is exact
+            if (np.abs(hops).max(initial=0.0) <= 32767.0
+                    and np.all(hops == np.rint(hops))):
+                hops_up = hops.astype(np.int16)
+            else:
+                hops_up = np.asarray(hops, np.float32
+                                     if self.enh.dtype == jnp.float32
+                                     else np.float64)
             pcm, self._queue_dev, self._acc_dev, self.state = \
                 self._run_block_samples(
-                    self._shard_in(jnp.asarray(hops, self.enh.dtype)),
+                    self._shard_in(jnp.asarray(hops_up)),
                     self._queue_dev, self._acc_dev, self.state,
                     self._shard_in(jnp.asarray(l0, jnp.int32)))
-            pcm = np.asarray(pcm)                  # (B, K*shift)
             self._pending = []
-            emitted = []
-            for i in range(k):
-                emitted.append(
-                    (pcm[:, i * s.frameshift: (i + 1) * s.frameshift]
-                     .astype(np.float64), l0 + i > self._delay))
             # host acc is now stale; the device copy is authoritative
             # until a fallback pulls it (_sync_host_acc)
-            return emitted
+            if self._pipeline:
+                # cross-tick pipelining: hand back the PREVIOUS tick's
+                # result and leave this one in flight — the fetch of tick
+                # n-1 overlaps the upload+compute of tick n, hiding the
+                # round-trip at the cost of one block of added latency
+                prev, self._inflight = self._inflight, (pcm, l0, k)
+                if prev is None:
+                    return []
+                pcm, l0, k = prev
+            return self._emit_pcm(np.asarray(pcm), l0, k)
+        # frames-path fallback: settle any pipelined tick first (its audio
+        # is older than this block's), then pull the device OLA state
+        pre = self._drain_inflight()
         self._sync_host_acc()
         self._chain_broken = False                 # chain restarts below
+        return pre + self._flush_pending_frames(k, l0)
+
+    def _emit_pcm(self, pcm: np.ndarray, l0: np.ndarray, k: int
+                  ) -> list[tuple[np.ndarray, np.ndarray]]:
+        s = self._s
+        emitted = []
+        for i in range(k):
+            emitted.append(
+                (pcm[:, i * s.frameshift: (i + 1) * s.frameshift]
+                 .astype(np.float64), l0 + i > self._delay))
+        return emitted
+
+    def _drain_inflight(self) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Fetch and emit the in-flight pipelined tick, if any."""
+        if getattr(self, "_inflight", None) is None:
+            return []
+        pcm, l0, k = self._inflight
+        self._inflight = None
+        return self._emit_pcm(np.asarray(pcm), l0, k)
+
+    def drain(self, quantize: bool = True) -> list[np.ndarray]:
+        """Emit the one pipelined tick still in flight (pipeline_ticks
+        sessions owe up to one block of audio between pushes)."""
+        return self._assemble(self._drain_inflight(), self.n, quantize)
+
+    def _flush_pending_frames(self, k: int, l0: np.ndarray
+                              ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """The frames-wire tick: full (B, K, framelength) frames up, OLA on
+        the host (also the fallback for partial blocks / broken chains)."""
+        s = self._s
         # (B, K, framelength)
         frames = np.stack(
             self._pending + [np.zeros((self.n, s.framelength))]
@@ -367,6 +426,7 @@ class MultiStreamSession:
             emitted.extend(self._process_hop(np.zeros((self.n,
                                                        s.frameshift))))
         emitted.extend(self._flush_pending())
+        emitted.extend(self._drain_inflight())     # pipelined final tick
         return np.stack(self._assemble(emitted, self.n, quantize), axis=0)
 
     # ----- multi-tenant lane lifecycle (runtime/server.py) -------------
@@ -397,6 +457,11 @@ class MultiStreamSession:
         if self._pending:
             raise RuntimeError("reset_lanes requires an empty pending "
                                "block (tick until the block flushes)")
+        if self._inflight is not None:
+            # the in-flight tick belongs to the OLD tenants; emitting it
+            # silently after the reset would misattribute their audio
+            raise RuntimeError("reset_lanes with a pipelined tick in "
+                               "flight: call drain() first")
         if self._hold.shape[1]:
             # the sample hold is fleet-wide (one column count for all
             # lanes), so a single lane's hold cannot be emptied — and

@@ -140,6 +140,28 @@ def test_fleet_samples_wire_reset_lanes(enh, m03_wav):
         np.testing.assert_array_equal(outs["samples"][i], outs["frames"][i])
 
 
+@pytest.mark.slow
+def test_fleet_pipelined_ticks_match(enh, m03_wav):
+    """pipeline_ticks (push returns the previous tick while the current is
+    in flight) yields the same total stream once flushed — values
+    identical, emission lagged one block."""
+    xs = _lanes(m03_wav, 2, 12000)
+    ref = MultiStreamSession(enh, 2, block_frames=8)
+    w = np.concatenate([ref.push(xs), ref.flush()], axis=1)
+    fleet = MultiStreamSession(enh, 2, block_frames=8, wire="samples",
+                               pipeline_ticks=True)
+    first = fleet.push(xs)
+    # lag: the pipelined session owes at least one block vs the reference
+    assert first.shape[1] < w.shape[1]
+    g = np.concatenate([first, fleet.flush()], axis=1)
+    np.testing.assert_array_equal(g, w)
+
+
+def test_pipeline_requires_samples_wire(enh):
+    with pytest.raises(ValueError):
+        MultiStreamSession(enh, 2, block_frames=8, pipeline_ticks=True)
+
+
 def test_fleet_push_shape_check(enh):
     fleet = MultiStreamSession(enh, 2)
     with pytest.raises(ValueError):
