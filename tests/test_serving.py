@@ -157,6 +157,23 @@ def test_fleet_pipelined_ticks_match(enh, m03_wav):
     np.testing.assert_array_equal(g, w)
 
 
+@pytest.mark.slow
+def test_fleet_mesh_sharded_samples_wire(enh, m03_wav):
+    """Samples wire + lane sharding over a device mesh (multi-chip
+    serving): device-resident queue/acc shard over 'data' and the output
+    matches the unsharded samples-wire session."""
+    from se_snmf_nat_tpu.parallel.mesh import make_mesh
+
+    xs = _lanes(m03_wav, 8, 8000)
+    ref = MultiStreamSession(enh, 8, block_frames=4, wire="samples")
+    w = np.concatenate([ref.push(xs), ref.flush()], axis=1)
+    mesh = make_mesh((8, 1))
+    fleet = MultiStreamSession(enh, 8, block_frames=4, wire="samples",
+                               mesh=mesh)
+    g = np.concatenate([fleet.push(xs), fleet.flush()], axis=1)
+    np.testing.assert_array_equal(g, w)
+
+
 def test_pipeline_requires_samples_wire(enh):
     with pytest.raises(ValueError):
         MultiStreamSession(enh, 2, block_frames=8, pipeline_ticks=True)
