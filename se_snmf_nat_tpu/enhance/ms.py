@@ -291,54 +291,77 @@ class MmseEnhancer:
         yp0 = jnp.asarray((y0 * np.conj(y0)).real, self.dtype)
         return init_ms_scan_state(yp0, self.p, d, self.dtype)
 
-    def enhance_batch(self, xs: list[np.ndarray], quantize: bool = True):
+    def enhance_batch(self, xs: list[np.ndarray], quantize: bool = True,
+                      micro_batch: int | None = 32):
         """Batch one-shot enhancement (the BatchRunner's DP plan for MS —
         the runner never threads MS stream state across files, runner.py).
 
         Uploads RAW SAMPLES and fetches int16 PCM; the tracker init runs on
         host per utterance (cheap: one float64 rfft) so batched outputs are
-        bit-identical to per-utterance ``enhance`` (x64-gated in test_ms)."""
+        bit-identical to per-utterance ``enhance`` (x64-gated in test_ms).
+
+        ``micro_batch``: chunked dispatch with in-order fetch (double
+        buffering), as stream/pipeline.enhance_batch — the call is
+        transfer-bound on a tunneled chip (device compute measured ~35 ms
+        of a ~1.1 s 64-lane call), so overlapping chunk n+1's upload with
+        chunk n's download is nearly free throughput.  Value-identical
+        (lane independence; x64-gated)."""
         d = self.d
         ni, nf = d.ni, d.nf
         xs_np = [np.asarray(x, np.float64).reshape(-1) for x in xs]
-        nrs = np.asarray(
+        nrs_all = np.asarray(
             [(len(x) - nf + ni) // ni if len(x) >= nf else 0 for x in xs_np],
             np.int64)
-        if int(nrs.max()) == 0:
+        if int(nrs_all.max()) == 0:
             return [np.zeros(0, np.int16 if quantize else np.float64)
                     for _ in xs]
-        nr_max = -(-int(nrs.max()) // self.frame_bucket) * self.frame_bucket
-        smp = np.zeros((len(xs), ni * (nr_max - 1) + nf), np.float64)
-        scan0s = []
-        for i, x in enumerate(xs_np):
-            nr = int(nrs[i])
-            if nr == 0:
-                # inert placeholder state; its lane outputs are discarded
-                scan0s.append(self._scan0(np.zeros(nf), np.arange(nf)[None, :], 1))
-                continue
-            # samples past the last frame (ni*(nr-1)+nf) are never framed;
-            # drop them so a bucket-aligned longest utterance with a
-            # trailing partial hop still fits the buffer width
-            n_keep = min(len(x), smp.shape[1])
-            smp[i, : n_keep] = x[:n_keep]
-            idx = ni * np.arange(nr)[:, None] + np.arange(nf)[None, :]
-            scan0s.append(self._scan0(x, idx, nr))
-        scan0_b = jax.tree.map(lambda *a: jnp.stack(a), *scan0s)
+        nr_max = -(-int(nrs_all.max()) // self.frame_bucket) \
+            * self.frame_bucket
+        width = ni * (nr_max - 1) + nf
         np_dt = np.float64 if self.dtype == jnp.float64 else np.float32
-        ys, pcm = self._run_batch_samples(
-            jnp.asarray(pack_samples_for_upload(smp, np_dt)), scan0_b,
-            jnp.asarray(nrs, jnp.int32))
-        fetched = np.asarray(pcm if quantize else ys)
+        mb = len(xs) if not micro_batch else min(int(micro_batch), len(xs))
+
+        def dispatch(lo: int):
+            hi = min(lo + mb, len(xs))
+            smp = np.zeros((mb, width), np.float64)
+            nrs = np.zeros((mb,), np.int64)
+            nrs[: hi - lo] = nrs_all[lo: hi]
+            scan0s = []
+            for j in range(mb):
+                i = lo + j
+                nr = int(nrs[j])
+                if i >= len(xs) or nr == 0:
+                    # inert placeholder lane; its outputs are discarded
+                    scan0s.append(self._scan0(np.zeros(nf),
+                                              np.arange(nf)[None, :], 1))
+                    continue
+                x = xs_np[i]
+                # samples past the last frame (ni*(nr-1)+nf) are never
+                # framed; drop them so a bucket-aligned longest utterance
+                # with a trailing partial hop still fits the buffer width
+                n_keep = min(len(x), width)
+                smp[j, : n_keep] = x[:n_keep]
+                idx = ni * np.arange(nr)[:, None] + np.arange(nf)[None, :]
+                scan0s.append(self._scan0(x, idx, nr))
+            scan0_b = jax.tree.map(lambda *a: jnp.stack(a), *scan0s)
+            return self._run_batch_samples(
+                jnp.asarray(pack_samples_for_upload(smp, np_dt)), scan0_b,
+                jnp.asarray(nrs, jnp.int32))
+
+        pending = [dispatch(lo) for lo in range(0, len(xs), mb)]
         outs = []
-        for i in range(len(xs)):
-            nr = int(nrs[i])
-            if nr == 0:
-                outs.append(np.zeros(0, np.int16 if quantize
-                                     else np.float64))
-                continue
-            out = fetched[i, : ni * (nr + self._no - 1)]
-            # copy: a view would pin the whole padded batch buffer
-            outs.append(out.copy() if quantize else out.astype(np.float64))
+        for ci, (ys, pcm) in enumerate(pending):
+            fetched = np.asarray(pcm if quantize else ys)
+            for j in range(min(mb, len(xs) - ci * mb)):
+                nr = int(nrs_all[ci * mb + j])
+                if nr == 0:
+                    outs.append(np.zeros(0, np.int16 if quantize
+                                         else np.float64))
+                    continue
+                out = fetched[j, : ni * (nr + self._no - 1)]
+                # copy: a view would pin the whole padded batch buffer
+                outs.append(out.copy() if quantize
+                            else out.astype(np.float64))
         return outs
 
     def initial_state(self) -> MsStreamState:

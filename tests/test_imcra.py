@@ -75,6 +75,12 @@ def test_batch_matches_single(clip):
     outs = enh.enhance_batch([a, b])
     np.testing.assert_array_equal(outs[0], enh.enhance(a))
     np.testing.assert_array_equal(outs[1], enh.enhance(b))
+    # chunked double-buffered dispatch (micro_batch) is value-identical,
+    # including the lane-padded tail chunk
+    m0, m1, m2 = enh.enhance_batch([a, b, b[:16000]], micro_batch=2)
+    np.testing.assert_array_equal(m0, enh.enhance(a))
+    np.testing.assert_array_equal(m1, enh.enhance(b))
+    np.testing.assert_array_equal(m2, enh.enhance(b[:16000]))
 
 
 @pytest.mark.slow

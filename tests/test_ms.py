@@ -165,6 +165,12 @@ def test_batch_matches_single(clip):
     fa, fb = enh.enhance_batch([a, b], quantize=False)
     np.testing.assert_array_equal(fa, enh.enhance(a, quantize=False))
     np.testing.assert_array_equal(fb, enh.enhance(b, quantize=False))
+    # chunked double-buffered dispatch (micro_batch) is value-identical,
+    # including the lane-padded tail chunk
+    m0, m1, m2 = enh.enhance_batch([a, b, b[:8000]], micro_batch=2)
+    np.testing.assert_array_equal(m0, enh.enhance(a))
+    np.testing.assert_array_equal(m1, enh.enhance(b))
+    np.testing.assert_array_equal(m2, enh.enhance(b[:8000]))
 
 
 @pytest.mark.slow
