@@ -669,7 +669,10 @@ def cmd_bench(args) -> int:
                    # refit-cap dimension at the headline point: the
                    # per-block dictionary refit W-solve has the same
                    # straggler profile as the H-solves
-                   (44, 32, 176, 32), (44, 32, 176, 24)]
+                   (44, 32, 176, 32), (44, 32, 176, 24),
+                   # caps below the p95 convergence iteration (~31): these
+                   # CHANGE column trajectories, so quality decides
+                   (44, 28, 176, 24), (44, 24, 176, 24)]
         for k_blk, cap, bucket, refit_cap in points:
                 enh = SnmfEnhancer(
                     cfg, speech.b_dft, noise.b_dft, speech.b_dft,

@@ -78,11 +78,17 @@ class EnhanceServer:
                  use_block_adaptive: bool = False,
                  host: str = "127.0.0.1", port: int = 0,
                  underrun_pad: bool = False, tick_deadline_s: float = 0.01,
-                 max_write_buffer: int = 1 << 20):
+                 max_write_buffer: int = 1 << 20, wire: str | None = None):
         from se_snmf_nat_tpu.stream.serving import MultiStreamSession
+        # transfer-optimal samples wire by default (SERVING_r03: 2x the
+        # fleet of the frames wire; per-lane lifecycle — reset, drain,
+        # flush — falls back transparently); the block-adaptive serving
+        # mode still requires the frames wire
+        if wire is None:
+            wire = "frames" if use_block_adaptive else "samples"
         self.session = MultiStreamSession(
             enhancer, n_lanes, block_frames=block_frames,
-            use_block_adaptive=use_block_adaptive)
+            use_block_adaptive=use_block_adaptive, wire=wire)
         self.hop = enhancer.cfg.signal.frameshift
         self.n = n_lanes
         self.host, self.port = host, port
