@@ -663,22 +663,30 @@ def cmd_bench(args) -> int:
         # and K=32/bucket 32 to 352, trading compile sharing granularity
         # (one executable per 32-frame length class instead of per 192)
         # for less dead compute
-        points = [(k, cap, 192, 0) for k in (16, 32, 48)
+        points = [(k, cap, 192, 0, False) for k in (16, 32, 48)
                   for cap in (32, 40, 100)]
-        points += [(36, 32, 180, 0), (32, 32, 32, 0), (44, 32, 176, 0),
+        points += [(36, 32, 180, 0, False), (32, 32, 32, 0, False),
+                   (44, 32, 176, 0, False),
                    # refit-cap dimension at the headline point: the
                    # per-block dictionary refit W-solve has the same
                    # straggler profile as the H-solves
-                   (44, 32, 176, 32), (44, 32, 176, 24),
+                   (44, 32, 176, 32, False), (44, 32, 176, 24, False),
                    # caps below the p95 convergence iteration (~31): these
                    # CHANGE column trajectories, so quality decides
-                   (44, 28, 176, 24), (44, 24, 176, 24)]
-        for k_blk, cap, bucket, refit_cap in points:
+                   (44, 28, 176, 24, False), (44, 24, 176, 24, False),
+                   (44, 20, 176, 20, False), (44, 16, 176, 16, False),
+                   # fixed-iteration H-solves (conv_eps=0 + cap): same
+                   # GEMMs, no per-trip convergence-cost pass (17% of the
+                   # loop); trajectories differ -> quality decides
+                   (44, 24, 176, 24, True), (44, 20, 176, 20, True),
+                   (44, 16, 176, 16, True)]
+        for k_blk, cap, bucket, refit_cap, fixed in points:
                 enh = SnmfEnhancer(
                     cfg, speech.b_dft, noise.b_dft, speech.b_dft,
                     noise.b_dft, dtype=jnp.float32, block_adapt=k_blk,
                     frame_bucket=bucket, block_iter_cap=cap,
-                    dft_matmul=True, block_refit_cap=refit_cap)
+                    dft_matmul=True, block_refit_cap=refit_cap,
+                    block_fixed_iter=fixed)
                 x_m03 = waves[0][0]
                 frames = enh._pad_frames(enh.frames_for(x_m03))
                 t_true = enh.frames_for(x_m03).shape[0]
@@ -701,7 +709,7 @@ def cmd_bench(args) -> int:
                     windows.append((_time.perf_counter() - t0) / n_rep)
                 audio_s = batch_size * len(x_m03) / fs
                 row = {"k": k_blk, "cap": cap, "bucket": bucket,
-                       "refit_cap": refit_cap,
+                       "refit_cap": refit_cap, "fixed_iter": fixed,
                        "frames_padded": int(frames.shape[0]),
                        "audio_s_per_s": round(audio_s / min(windows), 1)}
                 # M03 quality from lane 0 of the timed program; LM quality

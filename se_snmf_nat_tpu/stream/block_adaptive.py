@@ -68,7 +68,8 @@ def rings_to_shift_layout(state: EngineState, ptr: jnp.ndarray,
 
 def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                     dtype=jnp.float32, k_block: int = 16,
-                    iter_cap: int = 0, refit_iter_cap: int = 0):
+                    iter_cap: int = 0, refit_iter_cap: int = 0,
+                    fixed_iter: bool = False):
     """The K-frame block step ((state, ring_ptr), (mag_blk, ls, ok)) ->
     ((state, ring_ptr), xm_tilde_seq) shared by the offline plan and the
     streaming session.
@@ -127,6 +128,17 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
     params_refit = (_dc.replace(params,
                                 max_iter=min(eff_max_iter, refit_iter_cap))
                     if refit_iter_cap else params)
+    # fixed_iter (opt-in, requires a cap): drop the per-column early stop
+    # from the H-SOLVES (conv_eps=0) so the solver also skips the per-trip
+    # KL cost — a full VPU pass over (F, K) incl. a log, 17% of the loop
+    # (nmf/solver.py cost-skip).  The GEMM count per trip is unchanged
+    # (frozen columns were masked, not cheaper); trajectories differ
+    # (columns that froze early now update to the cap), so the quality
+    # gates decide — PARETO_r03 measures it.  Refits KEEP the early stop:
+    # their while_loops genuinely exit early (see refit_iter_cap note),
+    # so fixed-iteration would make them slower, not faster.
+    if fixed_iter and eff_max_iter < cfg.nmf.max_iter:
+        params = _dc.replace(params, conv_eps=0.0)
     m_a = ad.m_a
     # gap >= 3 (the reference default): Q leaves the scan as banded GEMMs;
     # gap < 3 makes Q a true recurrence over centers, so it stays
@@ -338,12 +350,14 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
 def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                             dtype=jnp.float32, k_block: int = 16,
                             iter_cap: int = 0, dft_matmul: bool = False,
-                            refit_iter_cap: int = 0):
+                            refit_iter_cap: int = 0,
+                            fixed_iter: bool = False):
     """Returns jitted run(frames (T,L), state0: EngineState, win) ->
     (y, state)."""
     s = cfg.signal
     block_step = make_block_step(cfg, b1_x, b1_d, b2_x, b2_d, dtype, k_block,
-                                 iter_cap, refit_iter_cap)
+                                 iter_cap, refit_iter_cap,
+                                 fixed_iter=fixed_iter)
 
     @jax.jit
     def run(frames, state0, win_arr, t_valid):

@@ -40,7 +40,8 @@ class SnmfEnhancer:
                  dtype=jnp.float32, matlab_ad_blk_init: bool = True,
                  frame_bucket: int = 128, block_adapt: int = 0,
                  block_iter_cap: int = 0, warm_start: bool = False,
-                 dft_matmul: bool = False, block_refit_cap: int = 0):
+                 dft_matmul: bool = False, block_refit_cap: int = 0,
+                 block_fixed_iter: bool = False):
         self.cfg = cfg or default_config()
         s = self.cfg.signal
         self.dtype = dtype
@@ -92,7 +93,8 @@ class SnmfEnhancer:
             self._block_run = make_block_adaptive_run(
                 self.cfg, b1_x, b1_d, b2_x, b2_d, dtype, block_adapt,
                 block_iter_cap, dft_matmul=self.dft_matmul,
-                refit_iter_cap=block_refit_cap)
+                refit_iter_cap=block_refit_cap,
+                fixed_iter=block_fixed_iter)
             self._block_run_batch = jax.jit(
                 jax.vmap(self._block_run, in_axes=(0, 0, None, 0)))
 

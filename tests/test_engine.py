@@ -179,6 +179,27 @@ def test_batch_matches_single(reference_bases, short_clip):
 
 
 @pytest.mark.slow
+def test_block_fixed_iter_close_to_eps_plan(reference_bases, short_clip):
+    """block_fixed_iter (capped solves drop the per-column early stop and
+    with it the per-trip convergence-cost pass) is a documented
+    trajectory change: columns that froze early now update to the cap.
+    Outputs must stay tightly correlated with the early-stop plan — the
+    shipped configuration is additionally golden-gated (headline.py)."""
+    cfg = default_config()
+    speech, noise = reference_bases
+    kw = dict(dtype=jnp.float64, block_adapt=16, frame_bucket=16,
+              block_iter_cap=32)
+    a = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                     noise.b_dft, **kw).enhance(short_clip)
+    b = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                     noise.b_dft, **kw,
+                     block_fixed_iter=True).enhance(short_clip)
+    assert not np.array_equal(a, b)          # it IS a different trajectory
+    corr = np.corrcoef(a.astype(np.float64), b.astype(np.float64))[0, 1]
+    assert corr > 0.995, corr
+
+
+@pytest.mark.slow
 def test_batch_micro_batch_identical(reference_bases, short_clip):
     """Double-buffered micro-batching (chunked dispatch with in-order
     fetch, stream/pipeline.enhance_batch) is value-identical to the
