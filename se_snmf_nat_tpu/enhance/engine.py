@@ -72,6 +72,11 @@ def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
     Related bounds measured for the exact plan: segment speculation cannot
     exceed ~1.5x (the dictionary actually changes on 65% of M03 frames,
     mean gap 0.53); batch growth regresses (B=128: 330, B=256: 133).
+    For the BLOCK plan the same dependence is the structural ceiling: an
+    r3 ablation with refit triggers disabled (ar_up=1e9, identical
+    program) gained only 2% — the refit solves are nearly free, and the
+    gap to the non-adaptive fast plan is the T/K sequential per-block
+    while_loops that block b's dependence on block b-1's refit forces.
     """
     s, sep, ad, en, blk = cfg.signal, cfg.sep, cfg.adapt, cfg.enhance, cfg.blk
     if sep.blk_len_sep != 1 or sep.splice != 0:
