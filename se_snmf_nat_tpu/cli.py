@@ -689,58 +689,58 @@ def cmd_bench(args) -> int:
                    (44, 18, 176, 18, True), (44, 16, 176, 16, True),
                    (44, 14, 176, 14, True), (44, 12, 176, 12, True)]
         for k_blk, cap, bucket, refit_cap, fixed in points:
-                enh = SnmfEnhancer(
-                    cfg, speech.b_dft, noise.b_dft, speech.b_dft,
-                    noise.b_dft, dtype=jnp.float32, block_adapt=k_blk,
-                    frame_bucket=bucket, block_iter_cap=cap,
-                    dft_matmul=True, block_refit_cap=refit_cap,
-                    block_fixed_iter=fixed)
-                x_m03 = waves[0][0]
-                frames = enh._pad_frames(enh.frames_for(x_m03))
-                t_true = enh.frames_for(x_m03).shape[0]
-                batch = jnp.asarray(np.stack([frames] * batch_size),
-                                    np.float32)
-                states = jax.tree.map(
-                    lambda a: jnp.broadcast_to(a, (batch_size,) + a.shape),
-                    enh.initial_state())
-                tv = jnp.full((batch_size,), t_true, jnp.int32)
-                ys, _ = enh._block_run_batch(batch, states, enh.win, tv)
-                jax.block_until_ready(ys)          # compile + warmup
-                n_rep = 12
-                windows = []
-                for _ in range(3):
-                    t0 = _time.perf_counter()
-                    for _ in range(n_rep):
-                        ys, _ = enh._block_run_batch(batch, states,
-                                                     enh.win, tv)
-                    float(jnp.sum(ys))             # closes the window
-                    windows.append((_time.perf_counter() - t0) / n_rep)
-                audio_s = batch_size * len(x_m03) / fs
-                row = {"k": k_blk, "cap": cap, "bucket": bucket,
-                       "refit_cap": refit_cap, "fixed_iter": fixed,
-                       "frames_padded": int(frames.shape[0]),
-                       "audio_s_per_s": round(audio_s / min(windows), 1)}
-                # M03 quality from lane 0 of the timed program; LM quality
-                # from a single-utterance call of the same plan
-                start = delay * shift
-                emit = np.asarray(ys)[0, start: start
-                                      + (t_true - delay) * shift]
-                outs = [enhanced_quantize(emit).astype(np.float64),
-                        enh.enhance(waves[1][0]).astype(np.float64)]
-                corrs = []
-                for i, (name, _, _) in enumerate(fixtures):
-                    yq, g = outs[i], waves[i][1]
-                    n = min(len(yq), len(g))
-                    corr = float(np.corrcoef(yq[:n], g[:n])[0, 1])
-                    corrs.append(corr)
-                    row[name] = {
-                        "corr": round(corr, 4),
-                        "lsd_db": round(
-                            log_spectral_distance(g[:n], yq[:n], fs), 2),
-                        "mean_abs_lsb": round(
-                            float(np.abs(yq[:n] - g[:n]).mean()), 1)}
-                row["corr_margin"] = round(min(corrs) - 0.99, 4)
-                rows.append(row)
+            enh = SnmfEnhancer(
+                cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                noise.b_dft, dtype=jnp.float32, block_adapt=k_blk,
+                frame_bucket=bucket, block_iter_cap=cap,
+                dft_matmul=True, block_refit_cap=refit_cap,
+                block_fixed_iter=fixed)
+            x_m03 = waves[0][0]
+            frames = enh._pad_frames(enh.frames_for(x_m03))
+            t_true = enh.frames_for(x_m03).shape[0]
+            batch = jnp.asarray(np.stack([frames] * batch_size),
+                                np.float32)
+            states = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (batch_size,) + a.shape),
+                enh.initial_state())
+            tv = jnp.full((batch_size,), t_true, jnp.int32)
+            ys, _ = enh._block_run_batch(batch, states, enh.win, tv)
+            jax.block_until_ready(ys)          # compile + warmup
+            n_rep = 12
+            windows = []
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                for _ in range(n_rep):
+                    ys, _ = enh._block_run_batch(batch, states,
+                                                 enh.win, tv)
+                float(jnp.sum(ys))             # closes the window
+                windows.append((_time.perf_counter() - t0) / n_rep)
+            audio_s = batch_size * len(x_m03) / fs
+            row = {"k": k_blk, "cap": cap, "bucket": bucket,
+                   "refit_cap": refit_cap, "fixed_iter": fixed,
+                   "frames_padded": int(frames.shape[0]),
+                   "audio_s_per_s": round(audio_s / min(windows), 1)}
+            # M03 quality from lane 0 of the timed program; LM quality
+            # from a single-utterance call of the same plan
+            start = delay * shift
+            emit = np.asarray(ys)[0, start: start
+                                  + (t_true - delay) * shift]
+            outs = [enhanced_quantize(emit).astype(np.float64),
+                    enh.enhance(waves[1][0]).astype(np.float64)]
+            corrs = []
+            for i, (name, _, _) in enumerate(fixtures):
+                yq, g = outs[i], waves[i][1]
+                n = min(len(yq), len(g))
+                corr = float(np.corrcoef(yq[:n], g[:n])[0, 1])
+                corrs.append(corr)
+                row[name] = {
+                    "corr": round(corr, 4),
+                    "lsd_db": round(
+                        log_spectral_distance(g[:n], yq[:n], fs), 2),
+                    "mean_abs_lsb": round(
+                        float(np.abs(yq[:n] - g[:n]).mean()), 1)}
+            row["corr_margin"] = round(min(corrs) - 0.99, 4)
+            rows.append(row)
         ok = [r for r in rows if r["corr_margin"] >= margin_req]
         pick = max(ok, key=lambda r: r["audio_s_per_s"]) if ok else None
         print(json.dumps({
