@@ -136,6 +136,12 @@ def dft_matrices(framelength: int, fftlength: int, dtype=np.float32):
     passes while the FFT compounds butterfly rounding).  Forward:
     ``re = y @ C, im = y @ S``.  Inverse (conjugate-symmetric, truncated to
     framelength as synth_ifft_buff.m:16-24 does): ``y = re @ Ci + im @ Si``.
+
+    Multi-chip: the matmul transform also PARTITIONS — under a 'data' mesh
+    GSPMD shards it over the lane axis like any contraction, whereas the
+    FFT op cannot shard over batch dims and costs an all-gather of the
+    full (B, T, fft) batch per call (measured 3.1 MB at toy shapes;
+    tests/test_collectives.py gates both behaviors).
     """
     key = (framelength, fftlength, np.dtype(dtype).name)
     hit = _DFT_MATRIX_CACHE.get(key)

@@ -135,10 +135,15 @@ def audit_all(per_device_batch: int = 2) -> dict:
     x, fs = read_wav_int16("/root/reference/wav/M03_423C0213_STR.CH6.wav")
     out: dict[str, dict] = {}
 
-    # --- 1. DP enhancement batch: the PRODUCTION block-adaptive plan
+    # --- 1. DP enhancement batch: the PRODUCTION block-adaptive plan.
+    # NOTE the dft_matmul dependence (gated in tests/test_collectives.py):
+    # with the MXU-matmul DFT the program moves only while-loop sync preds
+    # (bytes); with jnp.fft, GSPMD cannot shard the FFT over the lane axis
+    # and all-gathers the full (B,T,fft) batch to run it replicated —
+    # the matmul transform is what makes DP sharding collective-free.
+    from se_snmf_nat_tpu.headline import HEADLINE_PLAN
     enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
-                       noise.b_dft, dtype=jnp.float32, block_adapt=48,
-                       frame_bucket=192, block_iter_cap=40, dft_matmul=True)
+                       noise.b_dft, dtype=jnp.float32, **HEADLINE_PLAN)
     frames = enh._pad_frames(enh.frames_for(x[: 4 * cfg.signal.frameshift
                                               * 192]))
     b = per_device_batch * n_dev
