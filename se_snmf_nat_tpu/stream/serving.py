@@ -23,7 +23,20 @@ ON, corr ~0.996 — the same envelope as the golden corr gates; see
 enhance/engine.py on conv_eps trajectory sensitivity).
 
 Capacity: ``bench --serving`` measures the largest lockstep fleet whose
-per-tick wall time still meets the real-time deadline on the bench chip.
+per-tick wall time still meets the real-time deadline on the bench chip
+(SERVING_r03.json: 128 streams with ``wire='samples'`` +
+``pipeline_ticks``; 64 at the strict one-block latency tier; the r2
+frames-wire ceiling was 32).
+
+Wire formats: ``wire='frames'`` ships (B, K, framelength) float frames
+both ways (simple, host-side OLA); ``wire='samples'`` uploads raw int16
+hop samples, shifts the frame queue / overlap-adds / applies the MATLAB
+int16-write IN-GRAPH against device-resident per-lane state, and
+downloads int16 PCM — ~16x less wire traffic per tick, bit-identical
+(partial blocks, flush, and lane resets fall back to the frames path with
+a one-shot state resync).  ``pipeline_ticks`` additionally returns tick
+n-1's PCM while tick n is in flight (+1 block latency; ``drain()``
+settles the final tick).
 """
 
 from __future__ import annotations
