@@ -399,7 +399,15 @@ class MultiStreamSession:
         """Feed ``(B, n)`` int16-scale samples (lockstep across lanes);
         returns the ``(B, m)`` finalized samples available so far.  Lanes
         whose clocks have diverged (after ``reset_lanes``) emit unequal
-        lengths — use ``push_per_lane`` then."""
+        lengths — use ``push_per_lane`` then.
+
+        ``quantize=False`` note: on the samples wire the MATLAB int16-write
+        rounding runs ON DEVICE, so device-tick chunks are post-write
+        values (the pre-rounding waveform never leaves the device), while
+        fallback (partial-block/flush) chunks are pre-write floats.  At
+        the default ``quantize=True`` both converge bit-identically
+        (the write step is idempotent on written values) — the gated
+        guarantee; use the frames wire if pre-write floats matter."""
         # check BEFORE processing: raising after would lose this call's
         # emitted audio with the engine state already advanced (equal lane
         # clocks guarantee equal emission masks, hence equal lengths)
