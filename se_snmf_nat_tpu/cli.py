@@ -943,6 +943,60 @@ def cmd_bench(args) -> int:
         print(json.dumps(measure_dp_scaling(
             enh, x, fs, per_device_batch=args.per_device_batch)))
         return 0
+    if args.multichannel:
+        # multichannel kernels throughput (SURVEY 2.2/2.3: the rebuilt
+        # PMWF beamformer and GIST-NTF solver): 6-channel synthetic CHiME
+        # load, distinct-input reps, scalar-fetch-closed windows
+        import time as _time
+        import jax
+        import jax.numpy as jnp
+        from se_snmf_nat_tpu.config import default_config
+        from se_snmf_nat_tpu.io.wavio import read_wav_int16
+        from se_snmf_nat_tpu.multichannel.ntf import ntf_solve
+        from se_snmf_nat_tpu.multichannel.pmwf import PmwfEnhancer
+
+        cfg = default_config()
+        x, fs = read_wav_int16(
+            "/root/reference/wav/M03_423C0213_STR.CH6.wav")
+        rng = np.random.default_rng(0)
+        ch6 = np.stack([np.roll(x, 31 * c) for c in range(6)])
+        enh = PmwfEnhancer(cfg, dtype=jnp.float32)
+        enh.enhance(ch6)                            # compile + warm
+        laps = []
+        for rep in range(5):
+            xs = np.stack([np.roll(x, 977 * (rep + 1) + 31 * c)
+                           for c in range(6)])
+            t0 = _time.perf_counter()
+            y = enh.enhance(xs)
+            laps.append(_time.perf_counter() - t0)
+        pmwf_el = min(laps)
+        out = {"pmwf_6ch": {
+            "call_s": round(pmwf_el, 3),
+            "audio_s_per_s": round(len(x) / fs / pmwf_el, 1),
+            "note": "one 6-ch utterance per call (covariances + per-bin "
+                    "solves); batching utterances scales like the DP plan"}}
+        # NTF: C=6 channels x N=513 bins x M frames against the reference
+        # basis rank
+        n, m, kk = 513, 256, 100
+        b = jnp.asarray(rng.random((n, kk)) + 0.01, jnp.float32)
+        c0 = jnp.asarray(rng.random((6, kk)) + 0.01, jnp.float32)
+        a0 = jnp.ones((m, kk), jnp.float32)
+        sm = jnp.asarray(rng.random((6, n, m)) + 0.01, jnp.float32)
+        res = ntf_solve(sm, b, c0, a0, max_iter=50, conv_eps=0.0)
+        float(jnp.sum(res.c))
+        laps = []
+        for rep in range(5):
+            smr = sm * jnp.float32(1.0 + 1e-4 * (rep + 1))
+            t0 = _time.perf_counter()
+            res = ntf_solve(smr, b, c0, a0, max_iter=50, conv_eps=0.0)
+            float(jnp.sum(res.c))
+            laps.append(_time.perf_counter() - t0)
+        el = min(laps)
+        out["ntf"] = {"solve_s": round(el, 4),
+                      "mu_iters_per_s": round(50 / el, 1),
+                      "shape": f"C=6 N={n} M={m} K={kk} iters=50"}
+        print(json.dumps(out))
+        return 0
     if args.collectives:
         # compiled-HLO collective audit on the current device set (run
         # under the virtual CPU mesh for the 8-way table): the per-step
@@ -1186,6 +1240,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "enhance_batch INCLUDING host<->device transfers) "
                         "for the SNMF/MS/IMCRA batch entries")
     b.add_argument("--campaign-batch", type=int, default=64)
+    b.add_argument("--multichannel", action="store_true",
+                   help="measure the PMWF beamformer and GIST-NTF solver "
+                        "throughput (6-channel synthetic load)")
     b.add_argument("--collectives", action="store_true",
                    help="compiled-HLO collective audit of every parallel "
                         "program (per-step interconnect bytes)")
