@@ -137,15 +137,17 @@ def main() -> None:
         windows.append((time.perf_counter() - t0) / 8)
     mu_elapsed = min(windows)
 
-    # ---- MU roofline (BASELINE.md "speed-of-light" proof): the solve is
-    # HBM-BOUND, not MXU-bound, at these shapes.  Ceiling = the same
-    # while-loop stripped to its two GEMMs (the irreducible data movement:
-    # the (F,n) intermediate must round-trip HBM between the GEMMs every
-    # trip — two matmuls cannot fuse); measured at ~90% of the 819 GB/s
-    # HBM spec on v5e, i.e. the chain IS the attainable shape ceiling.
-    # mu_roofline_frac = full-solver rate / GEMM-chain rate.  The full
-    # analysis (bytes/trip model, VPU cost of the convergence test, why
-    # the Pallas VMEM-resident kernel loses) lives in BASELINE.md.
+    # ---- MU roofline (BASELINE.md "speed-of-light" proof).  Ceiling =
+    # the same while-loop stripped to its two GEMMs — the irreducible
+    # compute + data movement of one MU trip at identical shapes and
+    # precision.  The chain itself runs at ~76% of the TILE-PADDED MXU
+    # ceiling (F=513 pads to 640 rows, r=200 to 256 — a 1.60x padding
+    # factor inherent to the reference's problem sizes); its measured
+    # trip time also PROVES XLA keeps the (F,n) intermediate
+    # VMEM-resident (a full HBM round-trip of all operands would floor
+    # the trip at 155 us vs the ~98 us measured).  mu_roofline_frac =
+    # full-solver rate / GEMM-chain rate; the full analysis lives in
+    # BASELINE.md ("MU H-solve speed-of-light analysis").
     from jax import lax as _lax
 
     w_norm = w_sep / jnp.sqrt(jnp.sum(w_sep * w_sep, axis=0))[None, :]
