@@ -554,7 +554,7 @@ def cmd_bench(args) -> int:
         from se_snmf_nat_tpu.train.dataset import build_training_sequence
         from se_snmf_nat_tpu.train.features import training_features
         from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_solve
-        import tempfile, shutil, pathlib, wave
+        import tempfile, shutil, pathlib
         cfg = default_config()
         x, fs = read_wav_int16(
             "/root/reference/wav/M03_423C0213_STR.CH6.wav")

@@ -22,7 +22,6 @@ Semantics reproduced from the reference (DFT mode, the live path):
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 

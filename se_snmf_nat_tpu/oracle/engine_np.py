@@ -17,7 +17,7 @@ Reproduces reference quirks on purpose:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -16,7 +16,6 @@ disk (SURVEY §5).  The TPU framework's multi-host story:
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -23,8 +23,6 @@ outputs — zero collectives in the hot loop, ICI untouched.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from se_snmf_nat_tpu.nmf.solver import SnmfParams, normalize_columns
+from se_snmf_nat_tpu.nmf.solver import normalize_columns
 
 
 def _kl_mu_step_local(v, w, h, sparsity, flr, axis: str | None):

@@ -24,10 +24,8 @@ reference golden output.  The exact plan remains the default; select with
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from se_snmf_nat_tpu.config import PipelineConfig
 from se_snmf_nat_tpu.dsp.stft import analysis_frames, overlap_add, synthesis_frames

@@ -28,7 +28,6 @@ against the scan plan in tests.
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
