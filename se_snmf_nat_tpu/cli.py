@@ -445,7 +445,36 @@ def cmd_demo(args) -> int:
             (len(x_file) - hop) // hop // 4, 1)
         basis_snaps = [np.asarray(sess.state.b_d_head)]
         snap_hops = [0]
+        # live adaptation toggle — SE_GUI.m:393-435's push-to-talk NAT
+        # switch: `kill -USR1 <pid>` flips it from outside (works in every
+        # input mode without touching the audio stdin), --toggle-every N
+        # flips it deterministically every N hops (demo/test).  Applied at
+        # the top of the hop loop via StreamingSession.set_adaptation — a
+        # traced state flip, no recompilation, pending frames flush under
+        # the setting they were pushed with.
+        toggle_req = {"n": 0}
+        if mode == "snmf":
+            import signal as _signal
+            try:
+                _signal.signal(_signal.SIGUSR1,
+                               lambda *_: toggle_req.__setitem__(
+                                   "n", toggle_req["n"] + 1))
+            except ValueError:
+                pass            # non-main thread (embedded use)
+        adapt_now, n_toggles = True, 0
         for h_idx, chunk in enumerate(hop_source()):
+            want_on = (toggle_req["n"] % 2 == 0)
+            if args.toggle_every and mode == "snmf":
+                want_on ^= (h_idx // args.toggle_every) % 2 == 1
+            if want_on != adapt_now:
+                y0 = sess.set_adaptation(want_on)
+                adapt_now, n_toggles = want_on, n_toggles + 1
+                account(np.zeros(0), y0)
+                emit(y0)
+                if args.verbose:
+                    print(f"  hop {h_idx:5d}  NAT adaptation -> "
+                          f"{'ON' if want_on else 'OFF'}",
+                          file=report_stream)
             t0 = time.perf_counter()
             y = sess.push(chunk)
             lat.append(time.perf_counter() - t0)
@@ -670,31 +699,50 @@ def cmd_bench(args) -> int:
         # and K=32/bucket 32 to 352, trading compile sharing granularity
         # (one executable per 32-frame length class instead of per 192)
         # for less dead compute
-        points = [(k, cap, 192, 0, False) for k in (16, 32, 48)
-                  for cap in (32, 40, 100)]
-        points += [(36, 32, 180, 0, False), (32, 32, 32, 0, False),
-                   (44, 32, 176, 0, False),
-                   # refit-cap dimension at the headline point: the
-                   # per-block dictionary refit W-solve has the same
-                   # straggler profile as the H-solves
-                   (44, 32, 176, 32, False), (44, 32, 176, 24, False),
-                   # caps below the p95 convergence iteration (~31): these
-                   # CHANGE column trajectories, so quality decides
-                   (44, 28, 176, 24, False), (44, 24, 176, 24, False),
-                   (44, 20, 176, 20, False), (44, 16, 176, 16, False),
-                   # fixed-iteration H-solves (conv_eps=0 + cap): same
-                   # GEMMs, no per-trip convergence-cost pass (17% of the
-                   # loop); trajectories differ -> quality decides
-                   (44, 24, 176, 24, True), (44, 20, 176, 20, True),
-                   (44, 18, 176, 18, True), (44, 16, 176, 16, True),
-                   (44, 14, 176, 14, True), (44, 12, 176, 12, True)]
-        for k_blk, cap, bucket, refit_cap, fixed in points:
+        # r4 grid: the r3 surface settled K=44/cap20/bucket176/fixed as the
+        # non-split optimum (PARETO_r03.json keeps the full K x cap x
+        # bucket x fixed_iter history); r4 adds the split-solve dimension
+        # (snmf_h_solve_columns_split: the lane-shared basis GEMMs merge
+        # across the batch, leaving only the r_a=50 adapted head per-lane)
+        # and re-sweeps K now that (a) split tiling favors larger K less
+        # than the fused solve did and (b) fixed_iter IMPROVES corr, so
+        # the r2 K>=48 quality failures need re-measuring.  bucket = K
+        # everywhere (padding is what matters; the enhancer rounds the
+        # bucket up to a K multiple anyway): K=44/88 pad the 347-frame
+        # fixture to 352, K=48/64/128 to 384, K=56 to 392.
+        # point tuple: (K, cap, bucket, refit_cap, fixed, split, refit_fixed)
+        points = [
+            # r3 headline anchor for cross-round comparability
+            (44, 20, 176, 20, True, False, False),
+            # refit_fixed at the r3 pick: drops the refit early stop's
+            # per-trip KL cost pass (the r4 knockout put the refit branch
+            # at ~6 ms of the 19.2 ms call; the r3 'refits are free'
+            # ablation only removed the MU trips)
+            (44, 20, 176, 20, True, False, True),
+            (44, 20, 176, 12, True, False, True),
+            (44, 20, 176, 8, True, False, True),
+            # split-solve dimension (measured ~neutral at K=44; re-check
+            # at the final pick)
+            (44, 20, 176, 20, True, True, True),
+            # K re-sweep under fixed_iter (+ refit_fixed): halves/quarters
+            # the per-block sequential overhead (scan/Q/refit tails)
+            (64, 20, 64, 20, True, False, True),
+            (88, 20, 88, 20, True, False, True),
+            (88, 24, 88, 24, True, False, True),
+            (88, 16, 88, 16, True, False, True),
+            (88, 20, 88, 12, True, False, True),
+            (88, 20, 88, 20, True, False, False),
+            (128, 20, 128, 20, True, False, True),
+            (176, 20, 176, 20, True, False, True),
+        ]
+        for k_blk, cap, bucket, refit_cap, fixed, split, rfix in points:
             enh = SnmfEnhancer(
                 cfg, speech.b_dft, noise.b_dft, speech.b_dft,
                 noise.b_dft, dtype=jnp.float32, block_adapt=k_blk,
                 frame_bucket=bucket, block_iter_cap=cap,
                 dft_matmul=True, block_refit_cap=refit_cap,
-                block_fixed_iter=fixed)
+                block_fixed_iter=fixed, block_split_solve=split,
+                block_refit_fixed=rfix)
             x_m03 = waves[0][0]
             frames = enh._pad_frames(enh.frames_for(x_m03))
             t_true = enh.frames_for(x_m03).shape[0]
@@ -718,6 +766,7 @@ def cmd_bench(args) -> int:
             audio_s = batch_size * len(x_m03) / fs
             row = {"k": k_blk, "cap": cap, "bucket": bucket,
                    "refit_cap": refit_cap, "fixed_iter": fixed,
+                   "split": split, "refit_fixed": rfix,
                    "frames_padded": int(frames.shape[0]),
                    "audio_s_per_s": round(audio_s / min(windows), 1)}
             # M03 quality from lane 0 of the timed program; LM quality

@@ -154,7 +154,7 @@ def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
             h0_use = h0
         res = snmf_solve(y_sep[:, None], w_sep, h0_use, w_mask_sep,
                          h_mask_all, solve_params, update_w=semisup,
-                         update_h=True)
+                         update_h=True, need_stats=False)
         a = res.h[:, 0]
 
         # ---- reconstructions (engine :158-211)
@@ -226,9 +226,13 @@ def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
         xm_tilde = gain * ym
 
         # ---- online noise-dictionary adaptation (engine :262-347)
+        # adapt_train_n=False keeps the statically pruned program; with
+        # adaptation compiled in, state.adapt_on is the SE_GUI push-to-talk
+        # runtime switch (SE_GUI.m:393-435) — False makes frames supervised:
+        # no trigger, so rings/update_switch/dictionary stay untouched
         q_control = (1.0 - jnp.mean(q)) * ad.ar_up
-        trigger = jnp.logical_and(
-            bool(ad.adapt_train_n), q_control * a_d_mag > a_x_mag)
+        gate = state.adapt_on if ad.adapt_train_n else False
+        trigger = jnp.logical_and(gate, q_control * a_d_mag > a_x_mag)
 
         def adapted(op):
             state, = op
@@ -252,7 +256,8 @@ def make_engine(cfg: PipelineConfig, b1_x: np.ndarray, b1_d: np.ndarray,
                 res = snmf_solve(target, w0, h0a, r_up,
                                  jnp.zeros(r_a, bool), solve_params,
                                  update_w=True, update_h=False,
-                                 active=jnp.logical_and(trigger, do_solve))
+                                 active=jnp.logical_and(trigger, do_solve),
+                                 need_stats=False)
                 merged = jnp.where(r_up[None, :], res.w, head)
                 perm = jnp.argsort(r_up.astype(jnp.int32), stable=True)
                 return merged[:, perm]

@@ -30,6 +30,14 @@ class EngineState(NamedTuple):
     a_warm: jnp.ndarray        # (R,) previous frame's activations; read
     #                            only by warm-start plans (engine.py), and
     #                            carried untouched by reference-exact plans
+    # Runtime adaptation switch — SE_GUI.m:393-435's push-to-talk NAT
+    # toggle.  A TRACED scalar carried in the state so flipping it
+    # mid-stream (StreamingSession.set_adaptation) recompiles nothing;
+    # while False, triggers cannot fire, so rings, update_switch and the
+    # dictionary head stay untouched (the reference's supervised frames).
+    # Only consulted by plans built with cfg.adapt.adapt_train_n=True —
+    # config-off plans keep the statically pruned no-adaptation program.
+    adapt_on: jnp.ndarray = jnp.asarray(True)
 
 
 def init_engine_state(cfg: PipelineConfig, b_d_sep: np.ndarray,
@@ -63,4 +71,5 @@ def init_engine_state(cfg: PipelineConfig, b_d_sep: np.ndarray,
         ad_blk=jnp.asarray(ad_blk, dtype),
         update_switch=jnp.asarray(1, jnp.int32),
         a_warm=jnp.asarray(a0, dtype),
+        adapt_on=jnp.asarray(True),
     )

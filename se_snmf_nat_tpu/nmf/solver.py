@@ -45,6 +45,17 @@ from jax import lax
 
 FLR = 1e-9
 
+# MEASURED NEGATIVE RESULT (r4, v5e, do not retry): fully UNROLLING the
+# fixed-iteration (conv_eps<=0) H-solve loops instead of lax.while_loop —
+# plausible because per-trip cost at block-plan shapes (F=513 r=200 K=44
+# B=64) is ~75 us while the fast plan's trips at 8x the columns cost only
+# ~110 us, i.e. trips look overhead-bound — LOSES 13% end to end (headline
+# 9707 vs 11118 au-s/s; split variant 8812 vs 10944).  XLA schedules the
+# rolled loop better than the 20x-unrolled straight-line HLO at these
+# sizes, so the loop machinery is NOT the bottleneck; the block plan's
+# remaining wall is the T/K-sequential dependence itself (see
+# stream/block_adaptive.py and BASELINE.md).
+
 
 @dataclasses.dataclass(frozen=True)
 class SnmfParams:
@@ -163,12 +174,14 @@ class SnmfResult(NamedTuple):
     cost: jnp.ndarray    # final cost (div + sparsity penalty)
 
 
-@partial(jax.jit, static_argnames=("params", "update_w", "update_h"))
+@partial(jax.jit, static_argnames=("params", "update_w", "update_h",
+                                   "need_stats"))
 def snmf_solve(v: jnp.ndarray, w0: jnp.ndarray, h0: jnp.ndarray,
                w_mask: jnp.ndarray, h_mask: jnp.ndarray,
                params: SnmfParams, update_w: bool = True,
                update_h: bool = True,
-               active: jnp.ndarray | None = None) -> SnmfResult:
+               active: jnp.ndarray | None = None,
+               need_stats: bool = True) -> SnmfResult:
     """Full sparse-NMF solve with reference-equivalent semantics.
 
     v: (m, n) nonnegative data;  w0: (m, r);  h0: (r, n).
@@ -231,10 +244,120 @@ def snmf_solve(v: jnp.ndarray, w0: jnp.ndarray, h0: jnp.ndarray,
     init = (jnp.asarray(0, jnp.int32), w, h, lamb,
             jnp.asarray(jnp.inf, v.dtype), jnp.asarray(False))
     it, w, h, lamb, cost, _ = lax.while_loop(cond, body, init)
+    if not need_stats:
+        # factor-only callers (the engines' H-solves and refits use only
+        # res.h / res.w): skip the final divergence — a full (m, n) VPU
+        # pass incl. a log, pure reporting.  Measured on the block plan's
+        # vmapped per-block refits (v5e): part of a 6 ms/call tail the
+        # r3 "refits are free" ablation missed (BASELINE.md r4 budget).
+        zero = jnp.zeros((), v.dtype)
+        return SnmfResult(w=w, h=h, iters=it, div=zero, cost=zero)
     div = _divergence(v, lamb, beta)
     if params.conv_eps <= 0:        # cost skipped in-loop; compute it once
         cost = div + jnp.sum(sparsity * h)
     return SnmfResult(w=w, h=h, iters=it, div=div, cost=cost)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def snmf_h_solve_columns_split(v: jnp.ndarray, w_shared: jnp.ndarray,
+                               w_head: jnp.ndarray, h0_shared: jnp.ndarray,
+                               h0_head: jnp.ndarray, params: SnmfParams
+                               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``snmf_h_solve_columns`` with the basis split into a SHARED part and
+    a per-problem HEAD part — the MXU-tiling form of the block plan's
+    H-solve (stream/block_adaptive.py ``split_solve``).
+
+    Motivation (measured on v5e): under ``vmap`` over a B-utterance batch,
+    the fused solve's GEMMs are per-lane batched matmuls with N = K block
+    columns (K=44 in the headline plan).  The MXU pads N to 128, so ~2/3
+    of every tile is dead work.  But only the ADAPTED head columns
+    (``state.b_d_head``, r_a=50 of r=200) differ between lanes — the
+    speech basis and the noise tail are lane-invariant.  Passing them as
+    an unbatched ``w_shared`` lets vmap emit ONE unbatched-lhs contraction
+    with N = B*K columns (near-perfect tiling) for 75% of the FLOPs; only
+    the r_a head GEMMs stay per-lane batched.
+
+    Exactness: dmh rows split bit-exactly (row i of W^T u depends only on
+    column i of W); Lambda's contraction splits into two partial sums, so
+    f32 results can differ from the fused solve only in that sum's
+    rounding (x64 agreement is gated at 1e-12 in tests/test_nmf.py, and
+    the golden-wav gates cover the shipped f32 plan).
+
+    v: (m, n); w_shared: (m, r_s); w_head: (m, r_h);
+    h0_shared: (r_s, n); h0_head: (r_h, n).  Returns (h_shared, h_head).
+    """
+    prec = params.lax_precision
+    flr = jnp.asarray(params.flr, v.dtype)
+    sparsity = jnp.asarray(params.sparsity, v.dtype)
+    beta = params.beta
+
+    v = jnp.maximum(v, flr)
+    ws, wns = normalize_columns(w_shared)
+    wh, wnh = normalize_columns(w_head)
+    hs = h0_shared * wns[:, None]
+    hh = h0_head * wnh[:, None]
+
+    def lamb_of(hs, hh):
+        return jnp.maximum(_dot(ws, hs, prec) + _dot(wh, hh, prec), flr)
+
+    lamb = lamb_of(hs, hh)
+    n = v.shape[1]
+
+    if beta == 1.0:
+        dph_s = jnp.maximum(jnp.sum(ws, axis=0)[:, None] + sparsity, flr)
+        dph_h = jnp.maximum(jnp.sum(wh, axis=0)[:, None] + sparsity, flr)
+
+    def col_cost(lamb, hs, hh):
+        div = (
+            jnp.sum(v * jnp.log(v / lamb) - v + lamb, axis=0)
+            if beta == 1.0 else
+            jnp.sum((v - lamb) ** 2, axis=0) if beta == 2.0 else
+            jnp.sum(v / lamb - jnp.log(v / lamb) - 1.0, axis=0)
+            if beta == 0.0
+            else jnp.sum(v ** beta + (beta - 1.0) * lamb ** beta
+                         - beta * v * lamb ** (beta - 1.0), axis=0)
+            / (beta * (beta - 1.0))
+        )
+        return div + sparsity * (jnp.sum(hs, axis=0) + jnp.sum(hh, axis=0))
+
+    def body(carry):
+        it, hs, hh, lamb, last_cost, active = carry
+        if beta == 1.0:
+            u = v / lamb
+            hs_new = hs * _dot(ws.T, u, prec) / dph_s
+            hh_new = hh * _dot(wh.T, u, prec) / dph_h
+        elif beta == 2.0:
+            dph_sl = jnp.maximum(_dot(ws.T, lamb, prec) + sparsity, flr)
+            dph_hl = jnp.maximum(_dot(wh.T, lamb, prec) + sparsity, flr)
+            hs_new = hs * _dot(ws.T, v, prec) / dph_sl
+            hh_new = hh * _dot(wh.T, v, prec) / dph_hl
+        else:
+            lb1 = lamb ** (beta - 1.0)
+            u = v * lamb ** (beta - 2.0)
+            dph_sl = jnp.maximum(_dot(ws.T, lb1, prec) + sparsity, flr)
+            dph_hl = jnp.maximum(_dot(wh.T, lb1, prec) + sparsity, flr)
+            hs_new = hs * _dot(ws.T, u, prec) / dph_sl
+            hh_new = hh * _dot(wh.T, u, prec) / dph_hl
+        hs = jnp.where(active[None, :], hs_new, hs)
+        hh = jnp.where(active[None, :], hh_new, hh)
+        lamb = lamb_of(hs, hh)
+        if params.conv_eps > 0:
+            cost = col_cost(lamb, hs, hh)
+            rel = jnp.abs(cost - last_cost) / jnp.abs(last_cost)
+            newly_done = jnp.logical_and(it > 0, rel < params.conv_eps)
+            active = jnp.logical_and(active, jnp.logical_not(newly_done))
+        else:
+            cost = last_cost            # fixed-iteration mode: skip (see
+        return it + 1, hs, hh, lamb, cost, active   # snmf_h_solve_columns)
+
+    def cond(carry):
+        it, _, _, _, _, active = carry
+        return jnp.logical_and(it < params.max_iter, jnp.any(active))
+
+    init = (jnp.asarray(0, jnp.int32), hs, hh, lamb,
+            jnp.full((n,), jnp.inf, v.dtype), jnp.ones((n,), bool))
+    _, hs, hh, _, _, _ = lax.while_loop(cond, body, init)
+    return hs, hh
 
 
 @partial(jax.jit, static_argnames=("params",))

@@ -46,8 +46,10 @@ def load_engine_state(path: str | Path, dtype=jnp.float32) -> EngineState:
     with np.load(str(path)) as z:
         kw = {}
         for f in EngineState._fields:
-            a = z[f]
-            if a.dtype.kind == "f":
+            if f not in z.files:
+                continue        # fields added later fall to their class
+            a = z[f]            # defaults (adapt_on, r4) — old checkpoints
+            if a.dtype.kind == "f":   # stay loadable
                 kw[f] = jnp.asarray(a, dtype)
             else:
                 kw[f] = jnp.asarray(a)

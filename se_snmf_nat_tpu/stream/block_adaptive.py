@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from se_snmf_nat_tpu.config import PipelineConfig
 from se_snmf_nat_tpu.dsp.stft import analysis_frames, overlap_add, synthesis_frames
 from se_snmf_nat_tpu.enhance.state import EngineState
-from se_snmf_nat_tpu.nmf.solver import SnmfParams, snmf_h_solve_columns, snmf_solve
+from se_snmf_nat_tpu.nmf.solver import (
+    SnmfParams, snmf_h_solve_columns, snmf_h_solve_columns_split, snmf_solve)
 from se_snmf_nat_tpu.utils.matlab_compat import matlab_v4_rand_matrix
 
 
@@ -67,7 +68,8 @@ def rings_to_shift_layout(state: EngineState, ptr: jnp.ndarray,
 def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                     dtype=jnp.float32, k_block: int = 16,
                     iter_cap: int = 0, refit_iter_cap: int = 0,
-                    fixed_iter: bool = False):
+                    fixed_iter: bool = False, split_solve: bool = False,
+                    refit_fixed: bool = False):
     """The K-frame block step ((state, ring_ptr), (mag_blk, ls, ok)) ->
     ((state, ring_ptr), xm_tilde_seq) shared by the offline plan and the
     streaming session.
@@ -99,6 +101,18 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             mel_matrix(s.fs, s.f_order, s.fftlength, 1.0, s.fs / 2).T, dtype)
     h0_col = jnp.asarray(matlab_v4_rand_matrix(r, 1, cfg.nmf.random_seed),
                          dtype)
+    # split_solve: the H-solve's basis splits into the lane-invariant part
+    # (speech basis + non-adapted noise tail) and the per-lane adapted head
+    # (state.b_d_head) so vmap emits one big shared GEMM over B*K columns
+    # instead of B per-lane GEMMs MXU-padded from K to 128 columns — see
+    # snmf_h_solve_columns_split.  Rows of h reorder to [shared; head] for
+    # the solve and reassemble to the engine's [x; head; tail] order after.
+    if split_solve and r_a <= 0:
+        raise ValueError("split_solve requires an adapted head (r_a > 0)")
+    if split_solve:
+        w_shared = jnp.concatenate([bx, bd_tail], axis=1)   # (F, r - r_a)
+        h0_sh = jnp.concatenate([h0_col[:r_x], h0_col[r_x + r_a:]], axis=0)
+        h0_hd = h0_col[r_x: r_x + r_a]
     # iter_cap (opt-in, measured): truncates BOTH the H-solve and the
     # refit W-solve MU loops.  The per-column convergence distribution at
     # the production KL config freezes the median column by iteration 25
@@ -126,6 +140,20 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
     params_refit = (_dc.replace(params,
                                 max_iter=min(eff_max_iter, refit_iter_cap))
                     if refit_iter_cap else params)
+    # refit_fixed (opt-in, requires refit_iter_cap): FIXED-iteration refit
+    # W-solves, the same trade the H-solves' fixed_iter makes.  Why it pays
+    # HERE despite refits converging early: the early stop's per-trip KL
+    # cost pass is a (F, m_a) log pass per trip per lane, and the r4
+    # knockout decomposition measured the whole refit branch at ~6 ms of
+    # the 19.2 ms headline call (31%) — the r3 ar_up ablation that
+    # concluded "refits are free" only removed the MU trips, not the
+    # surrounding per-trip cost passes and entry/exit work.  Trajectories
+    # change (solves run to the cap), so golden quality re-gates the
+    # option (bench --pareto rows).
+    if refit_fixed:
+        if not refit_iter_cap:
+            raise ValueError("refit_fixed requires refit_iter_cap")
+        params_refit = _dc.replace(params_refit, conv_eps=0.0)
     # fixed_iter (opt-in, requires a cap): drop the per-column early stop
     # from the H-SOLVES (conv_eps=0) so the solver also skips the per-trip
     # KL cost — a full VPU pass over (F, K) incl. a log, 17% of the loop
@@ -165,9 +193,17 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             y_sep = (ym_mel / vn + 1e-9) * tn
         else:
             y_sep = mag_blk
-        res = snmf_h_solve_columns(
-            y_sep.T, w_sep, jnp.broadcast_to(h0_col, (r, k_block)), params)
-        a = res.h                                # (r, K)
+        if split_solve:
+            hs, hh = snmf_h_solve_columns_split(
+                y_sep.T, w_shared, state.b_d_head,
+                jnp.broadcast_to(h0_sh, (r - r_a, k_block)),
+                jnp.broadcast_to(h0_hd, (r_a, k_block)), params)
+            a = jnp.concatenate([hs[:r_x], hh, hs[r_x:]], axis=0)
+        else:
+            res = snmf_h_solve_columns(
+                y_sep.T, w_sep, jnp.broadcast_to(h0_col, (r, k_block)),
+                params)
+            a = res.h                            # (r, K)
         if mel_mode and sep.mel_conv:
             xm = ((w_sep[:, :r_x] @ a[:r_x]).T @ melmat)      # (K, F_dft)
             dm = ((w_sep[:, r_x:] @ a[r_x:]).T @ melmat)
@@ -240,9 +276,10 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
 
             # trigger (engine :263-292); the ring pushes themselves happen
             # in ONE bulk write per block below — the scan only emits each
-            # frame's push candidate and flag
-            trig = jnp.logical_and(bool(ad.adapt_train_n),
-                                   q_control * ad_mag > ax_mag)
+            # frame's push candidate and flag.  state.adapt_on is the
+            # runtime SE_GUI-style adaptation switch (see EngineState)
+            gate = state.adapt_on if ad.adapt_train_n else False
+            trig = jnp.logical_and(gate, q_control * ad_mag > ax_mag)
             trig = jnp.logical_and(trig, ok)
             m_ref = (1.0 - gain).at[: s.dc_bin].set(flr)
             d_ref = jnp.where(in_init, ym, ym * m_ref)
@@ -328,7 +365,7 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             h0a = ad_s * r_up[:, None]
             res = snmf_solve(target, w0, h0a, r_up, jnp.zeros(r_a, bool),
                              params_refit, update_w=True, update_h=False,
-                             active=any_trig)
+                             active=any_trig, need_stats=False)
             merged = jnp.where(r_up[None, :], res.w, head)
             perm = jnp.argsort(r_up.astype(jnp.int32), stable=True)
             return merged[:, perm]
@@ -349,13 +386,17 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                             dtype=jnp.float32, k_block: int = 16,
                             iter_cap: int = 0, dft_matmul: bool = False,
                             refit_iter_cap: int = 0,
-                            fixed_iter: bool = False):
+                            fixed_iter: bool = False,
+                            split_solve: bool = False,
+                            refit_fixed: bool = False):
     """Returns jitted run(frames (T,L), state0: EngineState, win) ->
     (y, state)."""
     s = cfg.signal
     block_step = make_block_step(cfg, b1_x, b1_d, b2_x, b2_d, dtype, k_block,
                                  iter_cap, refit_iter_cap,
-                                 fixed_iter=fixed_iter)
+                                 fixed_iter=fixed_iter,
+                                 split_solve=split_solve,
+                                 refit_fixed=refit_fixed)
 
     @jax.jit
     def run(frames, state0, win_arr, t_valid):

@@ -41,7 +41,9 @@ class SnmfEnhancer:
                  frame_bucket: int = 128, block_adapt: int = 0,
                  block_iter_cap: int = 0, warm_start: bool = False,
                  dft_matmul: bool = False, block_refit_cap: int = 0,
-                 block_fixed_iter: bool = False):
+                 block_fixed_iter: bool = False,
+                 block_split_solve: bool = False,
+                 block_refit_fixed: bool = False):
         self.cfg = cfg or default_config()
         s = self.cfg.signal
         self.dtype = dtype
@@ -94,7 +96,9 @@ class SnmfEnhancer:
                 self.cfg, b1_x, b1_d, b2_x, b2_d, dtype, block_adapt,
                 block_iter_cap, dft_matmul=self.dft_matmul,
                 refit_iter_cap=block_refit_cap,
-                fixed_iter=block_fixed_iter)
+                fixed_iter=block_fixed_iter,
+                split_solve=block_split_solve,
+                refit_fixed=block_refit_fixed)
             self._block_run_batch = jax.jit(
                 jax.vmap(self._block_run, in_axes=(0, 0, None, 0)))
 

@@ -113,6 +113,21 @@ class StreamingSession:
             self._ba_ptr = ring_ptr0()
             self._rings_to_shift = jax.jit(rings_to_shift_layout)
 
+    def set_adaptation(self, on: bool, quantize: bool = True) -> np.ndarray:
+        """Live noise-adaptation switch — SE_GUI.m:393-435's push-to-talk
+        NAT toggle, effective from the NEXT frame pushed.  Flips the traced
+        ``adapt_on`` scalar carried in EngineState, so no recompilation;
+        while off, frames are treated as supervised: triggers cannot fire
+        and the rings / update counter / dictionary head stay untouched
+        (tests/test_streaming.py gates this).  Frames already queued in the
+        current pending block were pushed under the previous setting, so
+        they flush under it first; any samples that finalizes are returned
+        (same contract as push)."""
+        outs = self._flush_pending() if self._pending else []
+        self.state = self.state._replace(adapt_on=jnp.asarray(bool(on)))
+        y = np.concatenate(outs) if outs else np.zeros(0)
+        return enhanced_quantize(y) if quantize else y
+
     def reset(self, state=None) -> None:
         """Return the session to t=0 for a new stream REUSING this
         instance's compiled programs (the jitted closures are

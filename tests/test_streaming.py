@@ -122,3 +122,91 @@ def test_dft_matmul_propagates_to_streaming(enh, m03_wav):
     got = np.concatenate([sess.push(x, quantize=False),
                           sess.flush(quantize=False)])
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_adaptation_toggle_off_equals_config_off(enh, m03_wav):
+    """SE_GUI.m:393-435 push-to-talk parity, half 1: a session with
+    set_adaptation(False) from the start must produce EXACTLY the output
+    of a plan built with adaptation off in the config (supervised frames
+    leave the dictionary untouched), and the dictionary head must stay
+    bit-identical to its initial value."""
+    x = m03_wav[0][:12000]
+    cfg_off = enh.cfg.evolve(
+        adapt=replace(enh.cfg.adapt, adapt_train_n=False))
+    enh_off = SnmfEnhancer(cfg_off, *enh._bases, dtype=enh.dtype,
+                           matlab_ad_blk_init=False)
+    want = enh_off._run_masked(
+        jnp.asarray(enh_off._pad_frames(enh_off.frames_for(x)), enh.dtype),
+        enh_off.initial_state(),
+        jnp.asarray(enh_off.frames_for(x).shape[0], jnp.int32))[0]
+    sess = StreamingSession(enh, block_frames=4)
+    sess.set_adaptation(False)
+    got = np.concatenate([sess.push(x), sess.flush()])
+    np.testing.assert_array_equal(np.asarray(sess.state.b_d_head),
+                                  np.asarray(enh.initial_state().b_d_head))
+    # the config-off run of the same engine (exact scan path, same state
+    # carry) — compare via the enhancer's scan on the toggled session's
+    # semantics: outputs must agree exactly
+    ref = enh_off.enhance(x)
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.slow
+def test_adaptation_toggle_mid_stream(enh, m03_wav):
+    """PTT parity, half 2: toggling OFF mid-stream freezes the dictionary
+    (bit-identical head across the off span) and toggling back ON resumes
+    adaptation with state continuity; the toggled stream differs from the
+    always-on stream only after the first toggle point."""
+    x = m03_wav[0][:18000]
+    third = 6000
+    sess_on = StreamingSession(enh, block_frames=4)
+    out_on = [sess_on.push(x[:third])]
+    head_after1_on = np.asarray(sess_on.state.b_d_head)
+    out_on.append(sess_on.push(x[third: 2 * third]))
+    out_on.append(sess_on.push(x[2 * third:]))
+    out_on.append(sess_on.flush())
+
+    sess = StreamingSession(enh, block_frames=4)
+    out_t = [sess.push(x[:third])]
+    # identical prefix while both adapt
+    np.testing.assert_array_equal(np.asarray(sess.state.b_d_head),
+                                  head_after1_on)
+    out_t.append(sess.set_adaptation(False))
+    head_frozen = np.asarray(sess.state.b_d_head)
+    out_t.append(sess.push(x[third: 2 * third]))
+    np.testing.assert_array_equal(np.asarray(sess.state.b_d_head),
+                                  head_frozen)  # untouched while off
+    out_t.append(sess.set_adaptation(True))
+    out_t.append(sess.push(x[2 * third:]))
+    out_t.append(sess.flush())
+    # adaptation resumed: the head moved again after re-enabling
+    assert not np.array_equal(np.asarray(sess.state.b_d_head), head_frozen)
+    # and the toggle changed the enhancement (lambda_dav path diverges)
+    got = np.concatenate([p for p in out_t if len(p)])
+    want = np.concatenate([p for p in out_on if len(p)])
+    assert got.shape == want.shape
+    assert not np.array_equal(got, want)
+    # prefix (first segment minus one block of latency) is identical
+    n_pre = len(out_on[0]) - 4 * enh.cfg.signal.frameshift
+    np.testing.assert_array_equal(got[:n_pre], want[:n_pre])
+
+
+def test_adaptation_toggle_block_plan(enh, m03_wav):
+    """The block-adaptive plan honors state.adapt_on the same way: running
+    it with the toggle off is bit-identical to the same plan built with
+    adaptation off in the config."""
+    from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer as _SE
+    x = m03_wav[0][:12000]
+    enh_blk = _SE(enh.cfg, *enh._bases, dtype=enh.dtype,
+                  matlab_ad_blk_init=False, block_adapt=8)
+    cfg_off = enh.cfg.evolve(
+        adapt=replace(enh.cfg.adapt, adapt_train_n=False))
+    enh_blk_off = _SE(cfg_off, *enh._bases, dtype=enh.dtype,
+                      matlab_ad_blk_init=False, block_adapt=8)
+    st_off = enh_blk.initial_state()._replace(adapt_on=jnp.asarray(False))
+    got, st_g = enh_blk.enhance(x, state=st_off, return_state=True)
+    want = enh_blk_off.enhance(x)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(np.asarray(st_g.b_d_head),
+                                  np.asarray(st_off.b_d_head))
