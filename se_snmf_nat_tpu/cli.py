@@ -394,6 +394,55 @@ def cmd_demo(args) -> int:
             account(chunk, y)
             emit(y)
         out = np.concatenate(outs) if outs else np.zeros(0, np.int16)
+    elif mode == "pmwf":
+        # multichannel beamformer live (north-star config #4's real-time
+        # form, multichannel/streaming.py).  Input: comma-separated wav
+        # paths (one per channel) or '-' with --channels N reading
+        # channel-INTERLEAVED raw int16 from stdin; output/pcm-out carry
+        # the reference channel (channel 0).
+        from se_snmf_nat_tpu.multichannel import (
+            PmwfParams, PmwfStreamingSession)
+        if live:
+            n_ch = args.channels
+        else:
+            paths = args.input.split(",")
+            n_ch = len(paths)
+            if n_ch < 2:
+                raise SystemExit(
+                    "demo --mode pmwf needs multichannel input: "
+                    "comma-separated wavs or '-' with --channels N")
+            chans = []
+            for pth in paths:
+                xc, fs = read_wav_int16(pth)
+                chans.append(xc)
+            nmin = min(len(c) for c in chans)
+            x_mc = np.stack([c[:nmin] for c in chans])
+
+        def mc_hop_source():
+            if live:
+                while True:
+                    buf = sys.stdin.buffer.read(hop * n_ch * 2)
+                    if len(buf) < hop * n_ch * 2:
+                        return
+                    fr = np.frombuffer(buf, "<i2").reshape(hop, n_ch)
+                    yield fr.T.astype(np.float64)
+            else:
+                for i in range(0, x_mc.shape[1] - hop + 1, hop):
+                    yield x_mc[:, i: i + hop]
+
+        sess = PmwfStreamingSession(
+            n_ch=n_ch, params=PmwfParams(),
+            block_frames=max(args.block, 1), dtype=_jnp_dtype(args.dtype))
+        for chunk in mc_hop_source():
+            t0 = time.perf_counter()
+            y = sess.push(chunk)
+            lat.append(time.perf_counter() - t0)
+            account(chunk[0], y[0] if y.shape[1] else None)
+            emit(y[0] if y.shape[1] else np.zeros(0))
+        tail = sess.flush()
+        account(np.zeros(0), tail[0] if tail.shape[1] else None)
+        emit(tail[0] if tail.shape[1] else np.zeros(0))
+        out = np.concatenate(outs) if outs else np.zeros(0, np.int16)
     elif mode == "bnmf":
         # the third algorithm family live (proc_BNMF_nmoh.m's frame loop
         # as a session); needs a clean-speech wav like the enhance slot
@@ -711,29 +760,38 @@ def cmd_bench(args) -> int:
         # bucket up to a K multiple anyway): K=44/88 pad the 347-frame
         # fixture to 352, K=48/64/128 to 384, K=56 to 392.
         # point tuple: (K, cap, bucket, refit_cap, fixed, split, refit_fixed)
+        # The r4 surface: the knockout decomposition (BASELINE.md) put the
+        # per-block refit branch at ~6 ms of the 19.2 ms r3 call, so K
+        # (blocks per utterance) is the dominant lever; K=88 halves every
+        # per-block tail vs K=44 AND measures HIGHER golden corr (the
+        # coarser refit cadence avoids mid-utterance dictionary wobble on
+        # these fixtures), while K=64/128 FAIL the .99+.004 gate — the
+        # refit-point alignment is fixture-sensitive, so the gate decides
+        # per K.  refit_fixed and split are measured NEGATIVES at the pick
+        # (exemplar rows kept); refit_cap 12 is speed-neutral-to-positive
+        # at unchanged corr (refits early-stop by ~12 trips).
         points = [
             # r3 headline anchor for cross-round comparability
             (44, 20, 176, 20, True, False, False),
-            # refit_fixed at the r3 pick: drops the refit early stop's
-            # per-trip KL cost pass (the r4 knockout put the refit branch
-            # at ~6 ms of the 19.2 ms call; the r3 'refits are free'
-            # ablation only removed the MU trips)
+            # measured-negative exemplars: fixed-iteration refits (the
+            # saved per-trip cost pass < the extra forced trips at rc20)
+            # and the split solve (lane-shared GEMM merging)
             (44, 20, 176, 20, True, False, True),
-            (44, 20, 176, 12, True, False, True),
             (44, 20, 176, 8, True, False, True),
-            # split-solve dimension (measured ~neutral at K=44; re-check
-            # at the final pick)
-            (44, 20, 176, 20, True, True, True),
-            # K re-sweep under fixed_iter (+ refit_fixed): halves/quarters
-            # the per-block sequential overhead (scan/Q/refit tails)
-            (64, 20, 64, 20, True, False, True),
-            (88, 20, 88, 20, True, False, True),
-            (88, 24, 88, 24, True, False, True),
-            (88, 16, 88, 16, True, False, True),
-            (88, 20, 88, 12, True, False, True),
+            (88, 20, 88, 20, True, True, False),
+            # K dimension at matched caps (64/128 are quality-gate FAILS,
+            # kept as evidence the gate decides per K)
+            (64, 20, 64, 12, True, False, False),
+            (128, 20, 128, 12, True, False, False),
+            (176, 20, 176, 12, True, False, False),
+            # the K=88 neighborhood: cap x refit_cap
+            (88, 16, 88, 12, True, False, False),
+            (88, 20, 88, 12, True, False, False),
             (88, 20, 88, 20, True, False, False),
-            (128, 20, 128, 20, True, False, True),
-            (176, 20, 176, 20, True, False, True),
+            (88, 22, 88, 12, True, False, False),
+            (88, 22, 88, 22, True, False, False),
+            (88, 24, 88, 12, True, False, False),
+            (88, 24, 88, 24, True, False, False),
         ]
         for k_blk, cap, bucket, refit_cap, fixed, split, rfix in points:
             enh = SnmfEnhancer(
@@ -790,11 +848,32 @@ def cmd_bench(args) -> int:
                         float(np.abs(yq[:n] - g[:n]).mean()), 1)}
             row["corr_margin"] = round(min(corrs) - 0.99, 4)
             rows.append(row)
+        # Pick policy (r4, the deliberate margin decision VERDICT r3 #4
+        # asked for): among points clearing the >=margin_req corr margin
+        # over the .99 gate, prefer the fastest whose WORST fixture corr
+        # also clears the repo's stricter 0.993 regression gate
+        # (tests/test_oracle.py) by >=0.0025 — after two rounds of
+        # "one wobble from red" findings, headline points ship with real
+        # slack over the repo's own gate.  Fall back to the unconstrained
+        # fastest only if the margin costs >3% speed (record which branch
+        # fired).  tests/test_headline_pin.py re-derives this pick from
+        # the artifact and pins headline.py to it.
         ok = [r for r in rows if r["corr_margin"] >= margin_req]
-        pick = max(ok, key=lambda r: r["audio_s_per_s"]) if ok else None
+        pick = fastest = margined = None
+        if ok:
+            fastest = max(ok, key=lambda r: r["audio_s_per_s"])
+            safe = [r for r in ok
+                    if min(r["M03"]["corr"], r["LM"]["corr"]) >= 0.9955]
+            if safe:
+                margined = max(safe, key=lambda r: r["audio_s_per_s"])
+            pick = (margined if margined is not None
+                    and margined["audio_s_per_s"]
+                    >= 0.97 * fastest["audio_s_per_s"] else fastest)
         print(json.dumps({
-            "grid": "K x iter_cap, dft_matmul=True, bucket=192, B=64, f32",
+            "grid": "K x iter_cap x refit_cap x split x refit_fixed, "
+                    "dft_matmul=True, bucket=K, B=64, f32",
             "gate": 0.99, "headline_margin_req": margin_req,
+            "test_gate_margin_req": 0.0025,
             "rows": rows,
             "headline_pick": pick}))
         return 0
@@ -872,6 +951,99 @@ def cmd_bench(args) -> int:
                 rows[name] = row
             report[fix_name] = rows
         print(json.dumps(report))
+        return 0
+    if args.quality_sharded:
+        # VERDICT r3 #8: one QUALITY row for each sharded execution plan so
+        # every plan that ships carries a recorded quality number against
+        # the fixture, not just an isolated parity gate.  Runs on the
+        # virtual 8-device CPU mesh (tests/conftest recipe) — execute as
+        #   env JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        #     python -m se_snmf_nat_tpu bench --quality-sharded
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from se_snmf_nat_tpu.config import default_config
+        from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
+        from se_snmf_nat_tpu.io.wavio import read_wav_int16
+        from se_snmf_nat_tpu.metrics import log_spectral_distance
+        from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
+
+        cfg = default_config()
+        speech, noise = load_reference_speech_noise(cfg.sep.r_d)
+        x, fs = read_wav_int16(
+            "/root/reference/wav/M03_423C0213_STR.CH6.wav")
+        gold, _ = read_wav_int16(
+            "/root/reference/wav/M03_423C0213_STR.CH6_out_v3.9_18.wav")
+        g = gold.astype(np.float64)
+        devs = np.asarray(jax.devices())
+        out = {"devices": len(devs)}
+
+        # ---- time-sharded full-waveform row (8 contiguous segments with
+        # halo warm-up) vs the sequential plan and the golden fixture
+        from se_snmf_nat_tpu.parallel.time_shard import enhance_time_sharded
+        enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
+                           noise.b_dft, dtype=jnp.float32)
+        mesh = Mesh(devs, ("data",))
+        y_seq = enh.enhance(x).astype(np.float64)
+        y_ts = enhance_time_sharded(enh, x, mesh, halo=64).astype(np.float64)
+        n = min(len(y_ts), len(y_seq), len(g))
+        out["time_shard"] = {
+            "halo": 64, "shards": len(devs),
+            "corr_vs_sequential": round(
+                float(np.corrcoef(y_ts[:n], y_seq[:n])[0, 1]), 6),
+            "mean_abs_lsb_vs_sequential": round(
+                float(np.abs(y_ts[:n] - y_seq[:n]).mean()), 2),
+            "corr_vs_golden": round(
+                float(np.corrcoef(y_ts[:n], g[:n])[0, 1]), 4),
+            "lsd_db_vs_golden": round(
+                log_spectral_distance(g[:n], y_ts[:n], fs), 2)}
+
+        # ---- tensor-parallel H-solve row: the production-shape solve on
+        # the REAL M03 spectrogram, 8-way model-sharded vs unsharded;
+        # downstream of `a` the plan is deterministic, so activation and
+        # reconstruction agreement pin the plan's quality
+        from se_snmf_nat_tpu.dsp.stft import analysis_frames
+        from se_snmf_nat_tpu.dsp.windows import sqrt_hann_periodic
+        from se_snmf_nat_tpu.nmf.solver import (SnmfParams,
+                                                snmf_h_solve_columns)
+        from se_snmf_nat_tpu.parallel.model_shard import (
+            snmf_h_solve_columns_model_sharded)
+        s = cfg.signal
+        win = jnp.asarray(sqrt_hann_periodic(s.framelength), jnp.float32)
+        frames = jnp.asarray(enh.frames_for(x), jnp.float32)
+        mag, _ = analysis_frames(frames, win, s.fftlength, s.pow, s.dc_bin,
+                                 s.nonzerofloor, s.preemph)
+        w_sep = jnp.concatenate(
+            [jnp.asarray(speech.b_dft, jnp.float32),
+             jnp.asarray(noise.b_dft, jnp.float32)], axis=1)
+        r = w_sep.shape[1]
+        params = SnmfParams(beta=cfg.nmf.beta,
+                            sparsity=float(cfg.nmf.sparsity),
+                            max_iter=cfg.nmf.max_iter,
+                            conv_eps=cfg.nmf.conv_eps, flr=1e-9,
+                            precision=cfg.runtime.matmul_precision)
+        h0 = jnp.full((r, mag.shape[0]), 0.5, jnp.float32)
+        mesh_tp = Mesh(devs, ("model",))
+        ref = snmf_h_solve_columns(mag.T, w_sep, h0, params)
+        got = snmf_h_solve_columns_model_sharded(mag.T, w_sep, h0, params,
+                                                 mesh_tp)
+        ha, hb = np.asarray(ref.h), np.asarray(got.h)
+        rel = np.abs(ha - hb) / (np.abs(ha) + 1e-12)
+        # reconstruction spectra (what the gain chain consumes)
+        r_x = cfg.sep.r_x
+        xm_a = np.asarray(w_sep[:, :r_x] @ ref.h[:r_x])
+        xm_b = np.asarray(w_sep[:, :r_x] @ got.h[:r_x])
+        dm_a = np.asarray(w_sep[:, r_x:] @ ref.h[r_x:])
+        dm_b = np.asarray(w_sep[:, r_x:] @ got.h[r_x:])
+        out["tp_h_solve"] = {
+            "shape": f"F={mag.shape[1]} r={r} cols={mag.shape[0]}",
+            "iters_ref": int(ref.iters), "iters_tp": int(got.iters),
+            "h_max_rel_diff": float(rel.max()),
+            "xm_max_rel_diff": float((np.abs(xm_a - xm_b)
+                                      / (np.abs(xm_a) + 1e-12)).max()),
+            "dm_max_rel_diff": float((np.abs(dm_a - dm_b)
+                                      / (np.abs(dm_a) + 1e-12)).max())}
+        print(json.dumps(out))
         return 0
     if args.trace:
         # jax.profiler trace of one full block-adaptive batch call
@@ -952,6 +1124,86 @@ def cmd_bench(args) -> int:
         out["imcra"] = run_e2e(OmlsaEnhancer(dtype=jnp.float32))
         print(json.dumps(out))
         return 0
+    if args.campaign_mixed:
+        # Mixed-length campaign rehearsal (VERDICT r3 #6): the north-star
+        # is the full CHiME4 eval set, but every prior e2e capture was B
+        # copies of ONE fixture.  Build a synthetic 80-file directory with
+        # heterogeneous lengths (2-12 s, M03-derived segments so content
+        # is speech-shaped), run the production plan through the REAL
+        # `cli campaign` path (BatchRunner batch plan incl. wav IO), and
+        # record files/s, audio-s/s, distinct compiled widths and padding
+        # waste — with and without the runner's length-sorted chunking.
+        import shutil
+        import tempfile
+        import time as _time
+        from se_snmf_nat_tpu.headline import build_headline_enhancer
+        from se_snmf_nat_tpu.io.wavio import read_wav_int16, write_wav_int16
+        from se_snmf_nat_tpu.runtime.runner import BatchRunner
+
+        x, fs = read_wav_int16(
+            "/root/reference/wav/M03_423C0213_STR.CH6.wav")
+        rng = np.random.default_rng(7)
+        n_files, b_sz = 80, 32
+        tmp = Path(tempfile.mkdtemp(prefix="mixedcamp_"))
+        lengths = rng.integers(2 * fs, 12 * fs, n_files)
+        try:
+            total_audio = 0.0
+            for i, ln in enumerate(lengths):
+                reps = -(-int(ln) // len(x))
+                start = int(rng.integers(0, len(x)))
+                seg = np.tile(np.roll(x, -start), reps)[: int(ln)]
+                write_wav_int16(tmp / f"f{i:03d}.wav",
+                                seg.astype(np.int16), fs)
+                total_audio += int(ln) / fs
+            enh = build_headline_enhancer()
+            out = {"files": n_files, "batch": b_sz,
+                   "audio_s_total": round(total_audio, 1),
+                   "length_range_s": [2, 12]}
+            shift = enh.cfg.signal.frameshift
+            n_flush = enh.cfg.delay + 1
+            bucket = enh.frame_bucket
+
+            def pad_stats(order):
+                """Distinct compiled widths + padding waste of a chunking
+                (the exact t_max math of enhance_batch)."""
+                widths, pad, true = [], 0, 0
+                for c0 in range(0, len(order), b_sz):
+                    chunk = order[c0: c0 + b_sz]
+                    tt = [int(ln) // shift + n_flush for ln in chunk]
+                    t_max = -(-max(tt) // bucket) * bucket
+                    widths.append(t_max)
+                    pad += sum(t_max - t for t in tt) \
+                        + (b_sz - len(chunk)) * t_max
+                    true += sum(tt)
+                return {"distinct_compiled_widths": len(set(widths)),
+                        "padding_waste_frac": round(pad / true, 3)}
+
+            for tag, sort in (("length_sorted", True), ("unsorted", False)):
+                out_dir = tmp / f"out_{tag}"
+                runner = BatchRunner(enh, carry_state=False, verbose=False,
+                                     length_sort=sort)
+                t0 = _time.perf_counter()
+                rep = runner.run(tmp, out_dir, batch_size=b_sz)
+                wall = _time.perf_counter() - t0
+                order = sorted(lengths) if sort else list(lengths)
+                row = {"wall_s": round(wall, 1),
+                       "files_per_s": round(n_files / wall, 2),
+                       "audio_s_per_s_e2e": round(total_audio / wall, 1),
+                       "processed": len(rep.processed)}
+                row.update(pad_stats(order))
+                out[tag] = row
+            # second pass over the SAME dir: skip-if-exists must be ~free
+            runner = BatchRunner(enh, carry_state=False, verbose=False)
+            t0 = _time.perf_counter()
+            rep2 = runner.run(tmp, tmp / "out_length_sorted",
+                              batch_size=b_sz)
+            out["rerun_skip_all"] = {
+                "wall_s": round(_time.perf_counter() - t0, 2),
+                "skipped": len(rep2.skipped)}
+            print(json.dumps(out))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return 0
     if args.latency:
         import jax.numpy as jnp
         from se_snmf_nat_tpu.config import default_config
@@ -972,13 +1224,17 @@ def cmd_bench(args) -> int:
         from se_snmf_nat_tpu.config import default_config
         from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
         from se_snmf_nat_tpu.runtime.profiling import (
-            measure_serving_capacity)
+            measure_serving_capacity, measure_serving_device_ceiling)
         from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
         cfg = default_config()
         speech, noise = load_reference_speech_noise(cfg.sep.r_d)
         enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
                            noise.b_dft, dtype=jnp.float32)
-        print(json.dumps(measure_serving_capacity(enh)))
+        rep = measure_serving_capacity(enh)
+        # r4: the measured compute-bound ceiling next to the tunnel
+        # numbers (co-located deployment story — VERDICT r3 #3)
+        rep["device_ceiling"] = measure_serving_device_ceiling(enh)
+        print(json.dumps(rep))
         return 0
     if args.scaling:
         from se_snmf_nat_tpu.headline import build_headline_enhancer
@@ -1022,8 +1278,63 @@ def cmd_bench(args) -> int:
         out = {"pmwf_6ch": {
             "call_s": round(pmwf_el, 3),
             "audio_s_per_s": round(len(x) / fs / pmwf_el, 1),
-            "note": "one 6-ch utterance per call (covariances + per-bin "
-                    "solves); batching utterances scales like the DP plan"}}
+            "note": "offline block-mean plan, one 6-ch utterance per call "
+                    "(kept for r3 comparability)"}}
+
+        # ---- STREAMING semantics, batched multi-lane (r4): the real-time
+        # PMWF path (multichannel/streaming.py) vmapped over B lanes of
+        # 6-channel audio — the deployment-shaped capture that replaces
+        # the single-call token number (VERDICT r3 weakness 2)
+        from se_snmf_nat_tpu.dsp.stft import stream_frames
+        from se_snmf_nat_tpu.multichannel import (
+            PmwfParams, PmwfStreamingSession, make_pmwf_batch_run,
+            pmwf_stream_init)
+        p = PmwfParams()
+        s = cfg.signal
+        lane_frames = np.stack([
+            stream_frames(ch, s.framelength, s.frameshift,
+                          n_flush=cfg.delay + 1) for ch in ch6])
+        for b_lanes in (8, 32):
+            frames_b = jnp.asarray(
+                np.stack([lane_frames] * b_lanes), jnp.float32)
+            st0 = pmwf_stream_init(p, 6, s.n_bins, jnp.complex64)
+            states = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (b_lanes,) + a.shape), st0)
+            batch_run = make_pmwf_batch_run(cfg, p, jnp.float32)
+            ys, _ = batch_run(frames_b, states)
+            jax.block_until_ready(ys)
+            laps = []
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                for _ in range(6):
+                    ys, _ = batch_run(frames_b, states)
+                float(jnp.sum(ys))
+                laps.append((_time.perf_counter() - t0) / 6)
+            el = min(laps)
+            out[f"pmwf_stream_batch{b_lanes}"] = {
+                "call_s": round(el, 3),
+                "audio_s_per_s": round(b_lanes * len(x) / fs / el, 1),
+                "note": "streaming semantics (running cov + init freeze), "
+                        f"{b_lanes} lanes x 6 ch, per-frame filters"}
+
+        # ---- single-lane push-based session: hop-amortized latency (the
+        # real-time deployment check for north-star config #4)
+        sess = PmwfStreamingSession(cfg, p, n_ch=6, block_frames=8,
+                                    dtype=jnp.float32)
+        hop = s.frameshift
+        sess.push(ch6[:, : hop * 8])        # compile + warm
+        sess.reset()
+        n_hops = 200
+        t0 = _time.perf_counter()
+        for i in range(0, n_hops * hop, hop * 8):
+            sess.push(ch6[:, i: i + hop * 8])
+        el = _time.perf_counter() - t0
+        out["pmwf_session"] = {
+            "ms_per_hop": round(el / n_hops * 1e3, 2),
+            "realtime_budget_ms": 10.0,
+            "realtime": bool(el / n_hops * 1e3 < 10.0),
+            "note": "push-based 6-ch session, block_frames=8, tunneled "
+                    "dispatch included"}
         # NTF: C=6 channels x N=513 bins x M frames against the reference
         # basis rank
         n, m, kk = 513, 256, 100
@@ -1044,6 +1355,23 @@ def cmd_bench(args) -> int:
         out["ntf"] = {"solve_s": round(el, 4),
                       "mu_iters_per_s": round(50 / el, 1),
                       "shape": f"C=6 N={n} M={m} K={kk} iters=50"}
+
+        # ---- online NTF channel-loading tracking (GIST_NTF C-step,
+        # streaming): blocks/s at the shipped shape
+        from se_snmf_nat_tpu.multichannel import NtfStreamingSession
+        sess_ntf = NtfStreamingSession(np.asarray(b), 6, inner_iters=4,
+                                       dtype=jnp.float32)
+        blk = np.asarray(sm[:, :, :16])
+        sess_ntf.push_block(blk)            # compile
+        t0 = _time.perf_counter()
+        for rep in range(20):
+            sess_ntf.push_block(blk * (1.0 + 1e-4 * rep))
+        el = _time.perf_counter() - t0
+        out["ntf_online"] = {
+            "blocks_per_s": round(20 / el, 1),
+            "block_audio_s": round(16 * 0.01, 2),
+            "audio_s_per_s": round(20 * 16 * 0.01 / el, 1),
+            "shape": "C=6 N=513 M=16/blk K=100, 4 inner iters"}
         print(json.dumps(out))
         return 0
     if args.collectives:
@@ -1239,7 +1567,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "(in-process capture via optional sounddevice)")
     dm.add_argument("-o", "--output")
     dm.add_argument("--mode", default="snmf",
-                    choices=["snmf", "snmf-fixed", "ms", "bnmf"])
+                    choices=["snmf", "snmf-fixed", "ms", "bnmf", "pmwf"])
     dm.add_argument("--verbose", action="store_true")
     dm.add_argument("--block", type=int, default=1,
                     help="frames per device call (latency/throughput knob)")
@@ -1254,6 +1582,13 @@ def build_parser() -> argparse.ArgumentParser:
     dm.add_argument("--pcm-out", action="store_true",
                     help="stream enhanced raw int16 PCM to stdout "
                          "(telemetry JSON moves to stderr)")
+    dm.add_argument("--channels", type=int, default=6,
+                    help="channel count for '-' input in --mode pmwf "
+                         "(stdin is channel-interleaved raw int16)")
+    dm.add_argument("--toggle-every", type=int, default=0,
+                    help="flip NAT adaptation every N hops (SE_GUI "
+                         "push-to-talk parity; 'kill -USR1 <pid>' toggles "
+                         "it live in any input mode)")
     _common_enh_args(dm)
     dm.set_defaults(fn=cmd_demo)
 
@@ -1281,9 +1616,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the quality battery over the bundled "
                         "reference fixtures (every algorithm family; "
                         "golden agreement for the SNMF plans)")
+    b.add_argument("--quality-sharded", action="store_true",
+                   help="quality rows for the sharded execution plans "
+                        "(time-shard full waveform, TP H-solve) vs the "
+                        "unsharded plan and golden; run under the virtual "
+                        "8-device CPU mesh")
     b.add_argument("--train-rate", action="store_true",
                    help="measure the basis-training inner solve "
                         "(full W+H SNMF) wall time and MU iterations/s")
+    b.add_argument("--campaign-mixed", action="store_true",
+                   help="mixed-length campaign rehearsal: 80 synthetic "
+                        "2-12 s files through the BatchRunner batch plan; "
+                        "files/s, compiled widths, padding waste "
+                        "(length-sorted vs unsorted chunking)")
     b.add_argument("--campaign", action="store_true",
                    help="end-to-end campaign-path throughput (wall time of "
                         "enhance_batch INCLUDING host<->device transfers) "

@@ -137,6 +137,80 @@ def measure_serving_capacity(enh, fleet_sizes=(1, 8, 32, 64, 128, 256),
             "blocks": blocks}
 
 
+def measure_serving_device_ceiling(enh, fleet_sizes=(128, 256, 384, 512),
+                                   block_frames: int = 8,
+                                   n_inner: int = 25) -> dict:
+    """Compute-bound serving ceiling, wire EXCLUDED (VERDICT r3 #3).
+
+    The tunnel numbers (measure_serving_capacity) bound what THIS bench's
+    network path can serve; a co-located deployment pays only device
+    compute.  r3 extrapolated that ceiling from single-hop timing; this
+    measures it: the samples-wire tick program (MultiStreamSession
+    run_one_samples — framing, engine scan, iSTFT, OLA, int16-write, all
+    in-graph) runs ``n_inner`` consecutive ticks inside ONE jitted
+    lax.scan whose carry chains (queue, acc, state, l0) tick to tick, so a
+    window is a single dispatch and wall/n_inner is pure device time per
+    tick (no per-tick dispatch, no PCM fetch; XLA cannot elide ticks — the
+    carry feeds forward).  A fleet is compute-real-time when that device
+    tick fits its own audio duration.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from se_snmf_nat_tpu.stream.serving import MultiStreamSession
+
+    s = enh.cfg.signal
+    shift = s.frameshift
+    deadline_ms = block_frames * shift / s.fs * 1e3
+    rng = np.random.default_rng(0)
+    rows = []
+    for b in fleet_sizes:
+        fleet = MultiStreamSession(enh, b, block_frames=block_frames,
+                                   wire="samples")
+        run = fleet._run_block_samples
+        hops = jnp.asarray(
+            np.rint(rng.standard_normal((b, block_frames, shift)) * 2000.0),
+            enh.dtype)
+        l0 = jnp.ones((b,), jnp.int32)
+
+        @jax.jit
+        def ticks(hops, queue, acc, state, l0):
+            def body(carry, _):
+                queue, acc, state, l0 = carry
+                pcm, queue, acc, state = run(hops, queue, acc, state, l0)
+                return ((queue, acc, state, l0 + block_frames),
+                        jnp.sum(pcm.astype(jnp.float32)))
+            carry, sums = jax.lax.scan(
+                body, (queue, acc, state, l0), None, length=n_inner)
+            return carry, sums
+
+        carry = (fleet._queue_dev, fleet._acc_dev, fleet.state, l0)
+        carry, sums = ticks(hops, *carry[:3], carry[3])   # compile + warm
+        float(jnp.sum(sums))
+        laps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            carry, sums = ticks(hops, *carry[:3], carry[3])
+            float(jnp.sum(sums))                          # closes window
+            laps.append((time.perf_counter() - t0) / n_inner)
+        tick_ms = min(laps) * 1e3
+        rows.append({
+            "fleet": int(b),
+            "device_tick_ms": round(tick_ms, 2),
+            "device_ms_per_lane": round(tick_ms / b, 4),
+            "real_time": bool(tick_ms < deadline_ms)})
+    ok = [r["fleet"] for r in rows if r["real_time"]]
+    return {"block_frames": block_frames,
+            "deadline_ms": round(deadline_ms, 1),
+            "max_compute_real_time_fleet": max(ok) if ok else 0,
+            "note": "device compute only (single-dispatch scan over "
+                    f"{n_inner} chained ticks); the tunnel tables above "
+                    "bound this bench's wire, this bounds a co-located "
+                    "deployment",
+            "table": rows}
+
+
 def measure_hop_latency(enh, x: "np.ndarray", n_rep: int = 3,
                         n_calls: int = 60) -> dict:
     """Separate per-hop DEVICE compute from per-call DISPATCH overhead.

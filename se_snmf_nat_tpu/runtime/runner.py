@@ -44,13 +44,22 @@ class BatchRunner:
     def __init__(self, enhancer, *, carry_state: bool = True,
                  force_rewrite: bool = False, out_suffix: str = "_enh",
                  state_path: str | Path | None = None,
-                 verbose: bool = True):
+                 verbose: bool = True, length_sort: bool = True):
         self.enhancer = enhancer
         self.carry_state = carry_state
         self.force_rewrite = force_rewrite
         self.out_suffix = out_suffix
         self.state_path = Path(state_path) if state_path else None
         self.verbose = verbose
+        # length_sort (batch path only): chunk files in ascending size
+        # order so each batched call pads to a chunk-LOCAL maximum —
+        # heterogeneous directories otherwise pad every chunk to whatever
+        # long file landed in it (measured on a synthetic 2-12 s 80-file
+        # set: padding waste drops ~3x and distinct compiled widths stay
+        # bounded by the length distribution, CAMPAIGN_r04.json).  Purely
+        # an iteration-order change: per-file outputs are identical (lane
+        # independence is x64-gated), and file writes keep their names.
+        self.length_sort = bool(length_sort)
 
     def _out_path(self, f: Path, out_dir: Path) -> Path:
         return out_dir / f"{f.stem}{self.out_suffix}.wav"
@@ -80,6 +89,8 @@ class BatchRunner:
         batchable = not self.carry_state or not hasattr(init0, "b_d_head")
         if batch_size > 1 and batchable \
                 and hasattr(self.enhancer, "enhance_batch"):
+            if self.length_sort:
+                todo = sorted(todo, key=lambda p: p.stat().st_size)
             for i in range(0, len(todo), batch_size):
                 chunk = todo[i: i + batch_size]
                 xs, rates = [], []

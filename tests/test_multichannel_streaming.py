@@ -14,33 +14,16 @@ from se_snmf_nat_tpu.multichannel import (
     NtfStreamingSession, PmwfParams, PmwfStreamingSession,
     make_pmwf_batch_run, make_pmwf_stream_step, make_pmwf_streaming_run,
     ntf_solve, pmwf_stream_init, pmwf_streaming_enhance, window_cov)
+from se_snmf_nat_tpu.multichannel.fixture import segsnr_vs_source, synth_mixture
 from se_snmf_nat_tpu.multichannel.ntf import default_c_init
 
 
 C = 4
 
 
-def synth_mixture(n=24000, c=C, seed=0, snr=1.0):
-    """Directional 'speech' (bandlimited bursts with per-channel gains +
-    delays) over diffuse noise; the first ~0.3 s is noise-only (the init
-    period the reference freezes Ncov from)."""
-    rng = np.random.default_rng(seed)
-    t = np.arange(n) / 16000.0
-    burst = (np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(2 * np.pi * 950 * t))
-    env = (np.sin(2 * np.pi * 1.3 * t) > 0.2).astype(float)
-    env[: 5600] = 0.0                       # noise-only init (>0.3 s)
-    src = burst * env * 8000.0 * snr
-    x = np.zeros((c, n))
-    for j in range(c):
-        d = j * 3                           # inter-channel delay (samples)
-        x[j, d:] = src[: n - d] * (1.0 - 0.08 * j)
-        x[j] += rng.standard_normal(n) * 2000.0
-    return np.clip(x, -32768, 32767), src
-
-
 @pytest.fixture(scope="module")
 def mix():
-    return synth_mixture()
+    return synth_mixture(n_ch=C)
 
 
 def test_streaming_session_bit_identical_to_offline(mix):
@@ -155,7 +138,7 @@ def test_batch_run_matches_single_lane(mix):
     from se_snmf_nat_tpu.dsp.stft import stream_frames
     lanes = []
     for seed in range(3):
-        x, _ = synth_mixture(n=8000, seed=seed)
+        x, _ = synth_mixture(n=8000, n_ch=C, seed=seed)
         lanes.append(np.stack([
             stream_frames(ch, s.framelength, s.frameshift,
                           n_flush=cfg.delay + 1) for ch in x]))
@@ -227,3 +210,25 @@ def test_ntf_online_converges_to_batch(mix):
 
     for j in range(k):
         assert cos(c_on[:, j], c_batch[:, j]) > 0.995, j
+
+
+def test_multichannel_quality_pinned():
+    """VERDICT r3 #7: the PMWF batteries on the package's synthetic
+    multichannel fixture, gated against the recorded QUALITY_r04 values
+    (measured 2026-08: best input 8.72 dB, offline PMWF 20.34 dB,
+    streaming PMWF 17.52 dB segSNR vs the known source; 1 dB regression
+    tolerance).  No reference golden exists (the PMWF path is dead code in
+    the reference), so this synthetic pin is the regression battery."""
+    from se_snmf_nat_tpu.multichannel import PmwfEnhancer
+
+    x, src = synth_mixture(n_ch=6)
+    seg_in = max(segsnr_vs_source(x[j], src) for j in range(6))
+    y_off = PmwfEnhancer(dtype=jnp.float32).enhance(x, quantize=False)
+    seg_off = segsnr_vs_source(y_off[0], src)
+    y_str = pmwf_streaming_enhance(x, dtype=jnp.float32, quantize=False)
+    seg_str = segsnr_vs_source(y_str[0], src)
+    assert 8.0 < seg_in < 10.0, seg_in          # fixture itself is pinned
+    assert seg_off >= 19.3, seg_off             # recorded 20.34
+    assert seg_str >= 16.5, seg_str             # recorded 17.52
+    assert seg_off - seg_in >= 10.0
+    assert seg_str - seg_in >= 7.0

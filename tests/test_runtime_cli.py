@@ -405,3 +405,27 @@ def test_cli_snmf_only_flags_rejected_for_other_algorithms():
         cli_main(["enhance", "x.wav", "--algorithm", "ms",
                   "--max-iter", "40"])
     assert "--max-iter" in str(e.value)
+
+
+def test_batch_runner_length_sort_identical_outputs(small_enh, tmp_path):
+    """length_sort only reorders the CHUNKING of the batch plan — every
+    per-file output must be bit-identical to the unsorted run (lane
+    independence), while heterogeneous directories pad less."""
+    from se_snmf_nat_tpu.io.wavio import read_wav_int16, write_wav_int16
+    rng = np.random.default_rng(3)
+    db = tmp_path / "db"
+    db.mkdir()
+    for i, n in enumerate([4000, 17000, 6000, 12000, 5000, 9000]):
+        write_wav_int16(db / f"m{i}.wav",
+                        (rng.standard_normal(n) * 2000).astype(np.int16), FS)
+    outs = {}
+    for tag, sort in (("s", True), ("u", False)):
+        out = tmp_path / f"out_{tag}"
+        rep = BatchRunner(small_enh, carry_state=False, verbose=False,
+                          length_sort=sort).run(db, out, batch_size=2)
+        assert len(rep.processed) == 6
+        outs[tag] = {p.name: read_wav_int16(p)[0]
+                     for p in sorted(out.iterdir())}
+    assert outs["s"].keys() == outs["u"].keys()
+    for name in outs["s"]:
+        np.testing.assert_array_equal(outs["s"][name], outs["u"][name])
