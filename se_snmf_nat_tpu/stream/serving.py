@@ -450,6 +450,27 @@ class MultiStreamSession:
         emitted.extend(self._drain_inflight())     # pipelined final tick
         return np.stack(self._assemble(emitted, self.n, quantize), axis=0)
 
+    def set_adaptation(self, on: bool, lanes=None,
+                       quantize: bool = True) -> list[np.ndarray]:
+        """Per-tenant push-to-talk NAT switch (the serving form of
+        StreamingSession.set_adaptation / SE_GUI.m:393-435): flips the
+        traced ``adapt_on`` scalar of the selected lanes' engine states —
+        no recompilation, other lanes undisturbed; effective from the next
+        frame pushed.  ``lanes=None`` toggles the whole fleet.  Pending
+        frames were pushed under the previous setting, so they flush under
+        it first; returns their per-lane emissions (same contract as
+        push_per_lane)."""
+        emitted = self._flush_pending() if self._pending else []
+        ad = np.asarray(self.state.adapt_on)
+        if lanes is None:
+            ad = np.full_like(ad, bool(on))
+        else:
+            ad = ad.copy()
+            ad[np.asarray(lanes)] = bool(on)
+        self.state = self.state._replace(
+            adapt_on=self._shard_in(jnp.asarray(ad)))
+        return self._assemble(emitted, self.n, quantize)
+
     # ----- multi-tenant lane lifecycle (runtime/server.py) -------------
     def _queue_externally_zeroed(self) -> None:
         """Bookkeeping for the samples wire after flush-style queue zeroing:

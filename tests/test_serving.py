@@ -263,3 +263,37 @@ def test_fleet_dft_matmul_matches_single(enh, m03_wav):
     sess = StreamingSession(enh_dm, block_frames=8)
     want = np.concatenate([sess.push(xs[0]), sess.flush()])
     np.testing.assert_array_equal(got[0], want)
+
+
+@pytest.mark.slow
+def test_per_lane_adaptation_toggle(enh, m03_wav):
+    """Serving-fleet push-to-talk: toggling ONE lane off freezes only that
+    lane's dictionary; the other lanes' heads keep adapting and their
+    outputs stay identical to an untouched fleet."""
+    from se_snmf_nat_tpu.stream.serving import MultiStreamSession
+    x = m03_wav[0][:16000]
+    xs = np.stack([x, np.roll(x, 1000), np.roll(x, 2000)])
+    ref = MultiStreamSession(enh, 3, block_frames=4)
+    out_ref = [ref.push(xs)]
+    toggled = MultiStreamSession(enh, 3, block_frames=4)
+    out_tog = [toggled.push(xs)]
+    np.testing.assert_array_equal(out_tog[0], out_ref[0])
+    toggled.set_adaptation(False, lanes=[1])
+    h_frozen = np.asarray(toggled.state.b_d_head[1])
+    xs2 = np.stack([np.roll(x, 3000), np.roll(x, 4000), np.roll(x, 5000)])
+    out_ref.append(ref.push(xs2))
+    out_tog.append(toggled.push(xs2))
+    # lane 1 frozen, lanes 0/2 bit-identical to the untouched fleet
+    np.testing.assert_array_equal(np.asarray(toggled.state.b_d_head[1]),
+                                  h_frozen)
+    assert not np.array_equal(np.asarray(ref.state.b_d_head[1]), h_frozen)
+    for lane in (0, 2):
+        np.testing.assert_array_equal(out_tog[1][lane], out_ref[1][lane])
+        np.testing.assert_array_equal(
+            np.asarray(toggled.state.b_d_head[lane]),
+            np.asarray(ref.state.b_d_head[lane]))
+    # re-enable: lane 1 adapts again
+    toggled.set_adaptation(True, lanes=[1])
+    toggled.push(np.stack([x, x, x]))
+    assert not np.array_equal(np.asarray(toggled.state.b_d_head[1]),
+                              h_frozen)
