@@ -97,3 +97,28 @@ def load_engine_state_orbax(path: str | Path,
         restored = ckptr.restore(Path(path).absolute(),
                                  dict(template._asdict()))
     return EngineState(**restored)
+
+
+# ---------------------------------------------------------------------------
+# Multichannel streaming state (multichannel/streaming.PmwfStreamState) —
+# same atomic-npz treatment as EngineState, so an interrupted multichannel
+# stream resumes bit-identically (complex covariances store natively).
+# ---------------------------------------------------------------------------
+
+def save_pmwf_state(path: str | Path, state) -> None:
+    path = Path(path)
+    tmp = path.with_name(path.stem + ".tmp.npz")
+    np.savez_compressed(
+        tmp, **{f: np.asarray(getattr(state, f)) for f in state._fields})
+    os.replace(tmp, path)
+
+
+def load_pmwf_state(path: str | Path, dtype=jnp.float32):
+    from se_snmf_nat_tpu.multichannel.streaming import PmwfStreamState
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    with np.load(str(path)) as z:
+        kw = {}
+        for f in PmwfStreamState._fields:
+            a = z[f]
+            kw[f] = jnp.asarray(a, cdtype if a.dtype.kind == "c" else None)
+        return PmwfStreamState(**kw)

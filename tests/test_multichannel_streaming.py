@@ -232,3 +232,31 @@ def test_multichannel_quality_pinned():
     assert seg_str >= 16.5, seg_str             # recorded 17.52
     assert seg_off - seg_in >= 10.0
     assert seg_str - seg_in >= 7.0
+
+
+def test_pmwf_state_checkpoint_roundtrip(mix, tmp_path):
+    """An interrupted multichannel stream resumes bit-identically from an
+    atomic npz checkpoint (the EngineState treatment extended to the
+    PMWF covariance state)."""
+    from se_snmf_nat_tpu.runtime.checkpoint import (load_pmwf_state,
+                                                    save_pmwf_state)
+    x, _ = mix
+    y_full, st_full = pmwf_streaming_enhance(x[:, :12800], dtype=jnp.float64,
+                                             return_state=True)
+    cfg = default_config()
+    run = make_pmwf_streaming_run(cfg, PmwfParams(), jnp.float64)
+    from se_snmf_nat_tpu.dsp.stft import stream_frames
+    s = cfg.signal
+    fr = np.stack([stream_frames(ch, s.framelength, s.frameshift,
+                                 n_flush=cfg.delay + 1)
+                   for ch in x[:, :12800]])
+    st0 = pmwf_stream_init(PmwfParams(), C, s.n_bins, jnp.complex128)
+    _, st_a = run(jnp.asarray(fr[:, :40], jnp.float64), st0)
+    save_pmwf_state(tmp_path / "pmwf.npz", st_a)
+    st_r = load_pmwf_state(tmp_path / "pmwf.npz", jnp.float64)
+    for f in st_a._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(st_a, f)),
+                                      np.asarray(getattr(st_r, f)))
+    _, st_b = run(jnp.asarray(fr[:, 40:], jnp.float64), st_r)
+    np.testing.assert_array_equal(np.asarray(st_b.ycov),
+                                  np.asarray(st_full.ycov))
