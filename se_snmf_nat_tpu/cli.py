@@ -1298,8 +1298,11 @@ def cmd_bench(args) -> int:
             frames_b = jnp.asarray(
                 np.stack([lane_frames] * b_lanes), jnp.float32)
             st0 = pmwf_stream_init(p, 6, s.n_bins, jnp.complex64)
-            states = jax.tree.map(
-                lambda a: jnp.broadcast_to(a, (b_lanes,) + a.shape), st0)
+            # jitted broadcast: eager complex ops can hit the tunnel's
+            # UNIMPLEMENTED complex-transfer path (see pmwf_stream_init)
+            states = jax.jit(lambda st: jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (b_lanes,) + a.shape),
+                st))(st0)
             batch_run = make_pmwf_batch_run(cfg, p, jnp.float32)
             ys, _ = batch_run(frames_b, states)
             jax.block_until_ready(ys)

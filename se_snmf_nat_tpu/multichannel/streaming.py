@@ -56,10 +56,19 @@ class PmwfStreamState(NamedTuple):
 def pmwf_stream_init(params: PmwfParams, n_ch: int, n_bins: int,
                      cdtype=jnp.complex64) -> PmwfStreamState:
     ml = 2 * params.l_nbr + 1
-    z = jnp.zeros((n_bins, n_ch, n_ch), cdtype)
-    return PmwfStreamState(
-        y_win=jnp.zeros((n_ch, n_bins, ml), cdtype),
-        ycov=z, ncov=z, l=jnp.asarray(0, jnp.int32))
+
+    # built INSIDE jit: the axon tunnel backend cannot transfer complex
+    # host buffers (device_put of np.complex64 raises UNIMPLEMENTED), but
+    # complex constants materialized by a compiled program are fine —
+    # same reason the pipelines' rfft outputs work
+    @jax.jit
+    def build():
+        z = jnp.zeros((n_bins, n_ch, n_ch), cdtype)
+        return PmwfStreamState(
+            y_win=jnp.zeros((n_ch, n_bins, ml), cdtype),
+            ycov=z, ncov=z, l=jnp.asarray(0, jnp.int32))
+
+    return build()
 
 
 def window_cov(y_win: jnp.ndarray, m_nbr: int) -> jnp.ndarray:
