@@ -950,6 +950,29 @@ def cmd_bench(args) -> int:
                     row["battery_vs_golden"] = quality_report(g, yf[:n], fs)
                 rows[name] = row
             report[fix_name] = rows
+        # ---- multichannel battery (VERDICT r3 #7): no golden exists (the
+        # reference's PMWF path is dead code), so quality pins to the
+        # package's seeded synthetic array scene with a KNOWN source
+        # (multichannel/fixture.py); tests/test_multichannel_streaming.py
+        # gates regressions against these recorded values
+        from se_snmf_nat_tpu.multichannel import (PmwfEnhancer,
+                                                  pmwf_streaming_enhance)
+        from se_snmf_nat_tpu.multichannel.fixture import (segsnr_vs_source,
+                                                          synth_mixture)
+        xm, src = synth_mixture(n_ch=6)
+        seg_in = max(segsnr_vs_source(xm[j], src) for j in range(6))
+        y_off = PmwfEnhancer(dtype=jnp.float32).enhance(xm, quantize=False)
+        y_str = pmwf_streaming_enhance(xm, dtype=jnp.float32,
+                                       quantize=False)
+        report["multichannel_synthetic"] = {
+            "fixture": "multichannel/fixture.synth_mixture(n_ch=6, seed=0)",
+            "segsnr_db_best_input": round(seg_in, 2),
+            "segsnr_db_pmwf_offline": round(
+                segsnr_vs_source(y_off[0], src), 2),
+            "segsnr_db_pmwf_streaming": round(
+                segsnr_vs_source(y_str[0], src), 2),
+            "gates": "tests/test_multichannel_streaming.py::"
+                     "test_multichannel_quality_pinned"}
         print(json.dumps(report))
         return 0
     if args.quality_sharded:
@@ -1179,23 +1202,31 @@ def cmd_bench(args) -> int:
                         "padding_waste_frac": round(pad / true, 3)}
 
             for tag, sort in (("length_sorted", True), ("unsorted", False)):
-                out_dir = tmp / f"out_{tag}"
                 runner = BatchRunner(enh, carry_state=False, verbose=False,
                                      length_sort=sort)
-                t0 = _time.perf_counter()
-                rep = runner.run(tmp, out_dir, batch_size=b_sz)
-                wall = _time.perf_counter() - t0
                 order = sorted(lengths) if sort else list(lengths)
-                row = {"wall_s": round(wall, 1),
-                       "files_per_s": round(n_files / wall, 2),
-                       "audio_s_per_s_e2e": round(total_audio / wall, 1),
-                       "processed": len(rep.processed)}
-                row.update(pad_stats(order))
+                row = pad_stats(order)
+                # cold pass includes the per-width compiles; the warm pass
+                # (fresh out dir, same in-process enhancer) is the
+                # steady-state a real multi-condition campaign runs at —
+                # length-sorting trades MORE compiled widths (one per
+                # length class) for LESS padding, so only the warm number
+                # can rank the two chunkings fairly
+                for phase in ("cold", "warm"):
+                    out_dir = tmp / f"out_{tag}_{phase}"
+                    t0 = _time.perf_counter()
+                    rep = runner.run(tmp, out_dir, batch_size=b_sz)
+                    wall = _time.perf_counter() - t0
+                    row[phase] = {
+                        "wall_s": round(wall, 1),
+                        "files_per_s": round(n_files / wall, 2),
+                        "audio_s_per_s_e2e": round(total_audio / wall, 1),
+                        "processed": len(rep.processed)}
                 out[tag] = row
             # second pass over the SAME dir: skip-if-exists must be ~free
             runner = BatchRunner(enh, carry_state=False, verbose=False)
             t0 = _time.perf_counter()
-            rep2 = runner.run(tmp, tmp / "out_length_sorted",
+            rep2 = runner.run(tmp, tmp / "out_length_sorted_warm",
                               batch_size=b_sz)
             out["rerun_skip_all"] = {
                 "wall_s": round(_time.perf_counter() - t0, 2),
