@@ -792,8 +792,18 @@ def cmd_bench(args) -> int:
             (88, 22, 88, 22, True, False, False),
             (88, 24, 88, 12, True, False, False),
             (88, 24, 88, 24, True, False, False),
+            # DFT matmul precision at the pick (dsp/stft.DFT_PRECISION):
+            # 'high'/'default' are +6.5%/+10.7% but drop the worst fixture
+            # to .9950/.9948 — below the pick policy's .9955, so they are
+            # recorded opt-ins, not the headline
+            (88, 22, 88, 22, True, False, False, "high"),
+            (88, 22, 88, 22, True, False, False, "default"),
         ]
-        for k_blk, cap, bucket, refit_cap, fixed, split, rfix in points:
+        import se_snmf_nat_tpu.dsp.stft as _stft_mod
+        for point in points:
+            k_blk, cap, bucket, refit_cap, fixed, split, rfix = point[:7]
+            dft_prec = point[7] if len(point) > 7 else "highest"
+            _stft_mod.DFT_PRECISION = dft_prec
             enh = SnmfEnhancer(
                 cfg, speech.b_dft, noise.b_dft, speech.b_dft,
                 noise.b_dft, dtype=jnp.float32, block_adapt=k_blk,
@@ -825,6 +835,7 @@ def cmd_bench(args) -> int:
             row = {"k": k_blk, "cap": cap, "bucket": bucket,
                    "refit_cap": refit_cap, "fixed_iter": fixed,
                    "split": split, "refit_fixed": rfix,
+                   "dft_prec": dft_prec,
                    "frames_padded": int(frames.shape[0]),
                    "audio_s_per_s": round(audio_s / min(windows), 1)}
             # M03 quality from lane 0 of the timed program; LM quality
@@ -848,27 +859,21 @@ def cmd_bench(args) -> int:
                         float(np.abs(yq[:n] - g[:n]).mean()), 1)}
             row["corr_margin"] = round(min(corrs) - 0.99, 4)
             rows.append(row)
+        _stft_mod.DFT_PRECISION = "highest"     # restore the shipped knob
         # Pick policy (r4, the deliberate margin decision VERDICT r3 #4
-        # asked for): among points clearing the >=margin_req corr margin
-        # over the .99 gate, prefer the fastest whose WORST fixture corr
-        # also clears the repo's stricter 0.993 regression gate
-        # (tests/test_oracle.py) by >=0.0025 — after two rounds of
-        # "one wobble from red" findings, headline points ship with real
-        # slack over the repo's own gate.  Fall back to the unconstrained
-        # fastest only if the margin costs >3% speed (record which branch
-        # fired).  tests/test_headline_pin.py re-derives this pick from
+        # asked for): the pick is the fastest point clearing BOTH the
+        # >=margin_req corr margin over the .99 gate AND a >=0.0025
+        # margin over the repo's own stricter 0.993 regression gate
+        # (tests/test_oracle.py) on its WORST fixture.  No speed
+        # fallback: after two rounds of "one wobble from red" findings,
+        # the flagship plan never ships inside its own gates' noise —
+        # faster thin-margin points (e.g. the DFT-precision rows: 'high'
+        # +6.5% at LM .9950, 'default' +10.7% at LM .9948) stay recorded
+        # opt-ins.  tests/test_headline_pin.py re-derives this pick from
         # the artifact and pins headline.py to it.
-        ok = [r for r in rows if r["corr_margin"] >= margin_req]
-        pick = fastest = margined = None
-        if ok:
-            fastest = max(ok, key=lambda r: r["audio_s_per_s"])
-            safe = [r for r in ok
-                    if min(r["M03"]["corr"], r["LM"]["corr"]) >= 0.9955]
-            if safe:
-                margined = max(safe, key=lambda r: r["audio_s_per_s"])
-            pick = (margined if margined is not None
-                    and margined["audio_s_per_s"]
-                    >= 0.97 * fastest["audio_s_per_s"] else fastest)
+        ok = [r for r in rows if r["corr_margin"] >= margin_req
+              and min(r["M03"]["corr"], r["LM"]["corr"]) >= 0.9955]
+        pick = max(ok, key=lambda r: r["audio_s_per_s"]) if ok else None
         print(json.dumps({
             "grid": "K x iter_cap x refit_cap x split x refit_fixed, "
                     "dft_matmul=True, bucket=K, B=64, f32",

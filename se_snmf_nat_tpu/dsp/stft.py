@@ -123,6 +123,14 @@ def preemphasis(frames: jnp.ndarray, coeff: float) -> jnp.ndarray:
 _DFT_MATRIX_CACHE: dict = {}
 
 
+# Matmul-DFT precision.  'highest' (6-pass bf16) is the shipped default:
+# it is CLOSER to the f64 FFT than XLA's rfft custom call and anchors the
+# golden gates.  'high' (bf16x3) was measured (r4): the transform pair gets
+# ~2x cheaper but the headline's golden corr drops below the pick policy's
+# margin on the fixtures, so it stays a knob for experiments only.
+DFT_PRECISION = "highest"
+
+
 def dft_matrices(framelength: int, fftlength: int, dtype=np.float32):
     """Real DFT as two (framelength, F) matmul operands, and the inverse
     (F, framelength) pair.
@@ -181,8 +189,8 @@ def analysis_frames(frames: jnp.ndarray, win: jnp.ndarray, fftlength: int,
     y = preemphasis(frames, preemph) * win[None, :]
     if dft_matmul:
         c, s, _, _ = dft_matrices(y.shape[-1], fftlength, y.dtype)
-        re = jnp.dot(y, c, precision="highest")
-        im = jnp.dot(y, s, precision="highest")
+        re = jnp.dot(y, c, precision=DFT_PRECISION)
+        im = jnp.dot(y, s, precision=DFT_PRECISION)
         phase = jnp.arctan2(im, re)
         mag = (re * re + im * im) ** (pow_ / 2.0)
     else:
@@ -234,8 +242,8 @@ def synthesis_frames(mag: jnp.ndarray, phase: jnp.ndarray, framelength: int,
         _, _, ci, si = dft_matrices(framelength, fftlength, amp.dtype)
         re = amp * jnp.cos(phase)
         im = amp * jnp.sin(phase)
-        y = (jnp.dot(re, ci, precision="highest")
-             + jnp.dot(im, si, precision="highest"))
+        y = (jnp.dot(re, ci, precision=DFT_PRECISION)
+             + jnp.dot(im, si, precision=DFT_PRECISION))
     else:
         spec = amp * jnp.exp(1j * phase)
         y = jnp.fft.irfft(spec, n=fftlength, axis=-1)[:, :framelength]
