@@ -329,6 +329,10 @@ def cmd_demo(args) -> int:
     live = args.input in ("-", "mic")
     if live:
         fs = args.live_rate
+    elif args.mode == "pmwf":
+        # comma-separated per-channel wavs; the channels are read in the
+        # pmwf branch — only the rate is needed up front (for the hop)
+        _, fs = read_wav_int16(args.input.split(",")[0])
     else:
         x_file, fs = read_wav_int16(args.input)
     hop = int(0.01 * fs)

@@ -429,3 +429,48 @@ def test_batch_runner_length_sort_identical_outputs(small_enh, tmp_path):
     assert outs["s"].keys() == outs["u"].keys()
     for name in outs["s"]:
         np.testing.assert_array_equal(outs["s"][name], outs["u"][name])
+
+
+@pytest.mark.slow
+def test_cli_demo_pmwf_mode(wav_db, tmp_path, capsys):
+    """demo --mode pmwf drives the real-time multichannel beamformer from
+    comma-separated per-channel wavs (north-star config #4's live form)."""
+    from se_snmf_nat_tpu.io.wavio import read_wav_int16, write_wav_int16
+    src = sorted(wav_db.iterdir())[0]
+    x, fs = read_wav_int16(src)
+    x = x[:12000]
+    paths = []
+    for c in range(3):
+        p = tmp_path / f"ch{c}.wav"
+        write_wav_int16(p, np.roll(x, 7 * c).astype(np.int16), fs)
+        paths.append(str(p))
+    out_wav = tmp_path / "pmwf_out.wav"
+    rc = cli_main(["demo", ",".join(paths), "--mode", "pmwf",
+                   "--block", "8", "-o", str(out_wav)])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["mode"] == "pmwf"
+    assert report["hops"] >= 40
+    assert report["rms_out"] > 0
+    y, _ = read_wav_int16(out_wav)
+    assert len(y) > 4000
+
+
+def test_cli_demo_toggle_every(wav_db, tmp_path, capsys):
+    """demo --toggle-every flips NAT adaptation mid-session (SE_GUI PTT
+    parity at the CLI level) and the run still completes cleanly."""
+    rng = np.random.default_rng(9)
+    f = default_config().signal.n_bins
+    from se_snmf_nat_tpu.io.basis import BasisPair, save_basis
+    pair = BasisPair(b_dft=rng.random((f, 100)) + 1e-3,
+                     b_mel=rng.random((64, 100)) + 1e-3)
+    save_basis(tmp_path / "b.npz", pair)
+    src = sorted(wav_db.iterdir())[0]
+    rc = cli_main(["demo", str(src), "--mode", "snmf", "--block", "4",
+                   "--toggle-every", "15", "--verbose",
+                   "--speech-basis", str(tmp_path / "b.npz"),
+                   "--noise-basis", str(tmp_path / "b.npz")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "NAT adaptation -> OFF" in out
+    assert "NAT adaptation -> ON" in out
