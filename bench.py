@@ -33,14 +33,15 @@ def main() -> None:
     x, fs = read_wav_int16("/root/reference/wav/M03_423C0213_STR.CH6.wav")
 
     # production throughput plan: the Pareto pick from `bench --pareto`
-    # (PARETO_r03.json) — the fastest block-adaptive point whose golden
-    # corr clears the 0.99 gate on BOTH fixtures with >=0.003 margin.
-    # Defined ONCE in headline.py; `bench --scaling`/`--campaign` build
-    # the identical enhancer.  dft_matmul: STFT/iSTFT as
-    # 'highest'-precision MXU matmuls instead of XLA's TPU rfft custom
-    # call — measured +28% end-to-end at unchanged golden quality (the
-    # matmul transform is itself CLOSER to the f64 FFT than XLA's rfft,
-    # dsp/stft.dft_matrices docstring).
+    # (PARETO_r04.json) — the fastest block-adaptive point whose golden
+    # corr clears the pick policy on BOTH fixtures (>=0.004 margin over
+    # the 0.99 gate AND worst-fixture corr >= 0.9955).  Defined ONCE in
+    # headline.py; `bench --scaling`/`--campaign` build the identical
+    # enhancer.  dft_matmul: STFT/iSTFT as ONE stacked MXU matmul per
+    # direction with the phase carried as a unit phasor (no
+    # arctan2/cos/sin passes), analysis at 'high' / synthesis at
+    # 'default' precision — see dsp/stft.py and headline.py for the
+    # measured per-direction precision asymmetry.
     from se_snmf_nat_tpu.headline import (
         HEADLINE_BATCH, HEADLINE_PLAN, build_headline_enhancer)
 
@@ -191,10 +192,13 @@ def main() -> None:
     mu_gemm_mfu = achieved_flops / (peak_flops * n_chips)
 
     # ---- STFT kernel roofline (BASELINE.md "STFT ... at speed-of-light").
-    # The production analysis transform runs on the MXU as two
-    # 'highest'-precision matmuls (dsp/stft.dft_matrices; XLA's TPU rfft
-    # measured 2x slower AND further from the f64 transform), so quote both
-    # achieved FLOP/s against the MXU peak and bytes/s against HBM peak.
+    # The production analysis transform runs on the MXU as ONE stacked
+    # matmul (dsp/stft.dft_matrices_stacked; XLA's TPU rfft measured 2x
+    # slower AND further from the f64 transform), emitting mag + the
+    # unit-phasor phase; quote both achieved FLOP/s against the MXU peak
+    # and bytes/s against HBM peak.  Timed here at the module-default
+    # 'highest' precision (the transform's own accuracy anchor); the
+    # headline plan opts the pipeline into 'high'/'default' per direction.
     # Chained timing: each call's input is scaled by a scalar derived from
     # the previous call's output so no dispatch repeats (tunnel dedupe
     # trap), and both outputs (mag + phase) are materialized, as the
@@ -227,7 +231,10 @@ def main() -> None:
         return mg, ph
 
     mag0 = jnp.zeros((stft_frames.shape[0], s.n_bins), jnp.float32)
-    mg, ph = stft_chain(stft_frames, mag0, mag0)          # compile
+    # the matmul analysis path returns the phase as a (T, 2F) unit phasor
+    # ([cos | sin], dsp/stft.analysis_frames) — size the carry to match
+    ph0 = jnp.zeros((stft_frames.shape[0], 2 * s.n_bins), jnp.float32)
+    mg, ph = stft_chain(stft_frames, mag0, ph0)           # compile
     jax.block_until_ready((mg, ph))
     windows = []
     for _ in range(3):
@@ -242,8 +249,9 @@ def main() -> None:
     # two (T,640)x(640,F) matmuls per frame batch
     stft_flops_per_frame = 2 * (2.0 * stft_frames.shape[1] * s.n_bins)
     stft_tflops = stft_frames_per_s * stft_flops_per_frame / 1e12
-    # minimum HBM traffic: read the time frames, write mag**pow + phase
-    bytes_per_frame = 4 * (stft_frames.shape[1] + 2 * (s.fftlength // 2 + 1))
+    # minimum HBM traffic: read the time frames, write mag**pow + the
+    # (2F) unit-phasor phase
+    bytes_per_frame = 4 * (stft_frames.shape[1] + 3 * (s.fftlength // 2 + 1))
     stft_gbps = stft_frames_per_s * bytes_per_frame / 1e9
     # v5e HBM peak 819 GB/s
     peak_bw = 819e9 if jax.devices()[0].platform != "cpu" else 50e9
@@ -255,8 +263,10 @@ def main() -> None:
         "unit": "audio-s/s/chip (adaptive SNMF-NAT enhancement, "
                 f"block-adaptive K={HEADLINE_PLAN['block_adapt']} "
                 f"cap{HEADLINE_PLAN['block_iter_cap']} "
-                f"bucket{HEADLINE_PLAN['frame_bucket']}, MXU-DFT, f32, "
-                f"B={batch_size})",
+                f"bucket{HEADLINE_PLAN['frame_bucket']}, phasor MXU-DFT "
+                f"{HEADLINE_PLAN.get('dft_precision') or 'highest'}/"
+                f"{HEADLINE_PLAN.get('idft_precision') or 'highest'}, "
+                f"f32, B={batch_size})",
         "vs_baseline": round(value_per_chip / 100.0, 3),
         "mu_iters_per_s": round(mu_iters_per_s, 0),
         "mu_gemm_tflops": round(achieved_flops / 1e12, 2),

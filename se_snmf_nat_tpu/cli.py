@@ -763,7 +763,9 @@ def cmd_bench(args) -> int:
         # everywhere (padding is what matters; the enhancer rounds the
         # bucket up to a K multiple anyway): K=44/88 pad the 347-frame
         # fixture to 352, K=48/64/128 to 384, K=56 to 392.
-        # point tuple: (K, cap, bucket, refit_cap, fixed, split, refit_fixed)
+        # point tuple:
+        #   (K, cap, bucket, refit_cap, fixed, split, refit_fixed
+        #    [, dft_prec_fwd [, dft_prec_inv]])
         # The r4 surface: the knockout decomposition (BASELINE.md) put the
         # per-block refit branch at ~6 ms of the 19.2 ms r3 call, so K
         # (blocks per utterance) is the dominant lever; K=88 halves every
@@ -796,25 +798,39 @@ def cmd_bench(args) -> int:
             (88, 22, 88, 22, True, False, False),
             (88, 24, 88, 12, True, False, False),
             (88, 24, 88, 24, True, False, False),
-            # DFT matmul precision at the pick (dsp/stft.DFT_PRECISION):
-            # 'high'/'default' are +6.5%/+10.7% but drop the worst fixture
-            # to .9950/.9948 — below the pick policy's .9955, so they are
-            # recorded opt-ins, not the headline
-            (88, 22, 88, 22, True, False, False, "high"),
-            (88, 22, 88, 22, True, False, False, "default"),
+            # DFT matmul precision at the pick, per DIRECTION (analysis,
+            # synthesis).  Measured asymmetry (r4): analysis rounding is
+            # amplified through the NMF trajectory (fwd 'default' drops LM
+            # to ~.9948, below the policy floor), synthesis rounding adds
+            # only linear output noise (inv 'default' leaves corr
+            # unchanged).  With the unit-phasor transform (dsp/stft) the
+            # fwd='high' row RECOVERS to .9957 — the old arctan2->cos/sin
+            # round trip was part of its quality drop — making
+            # ('high', 'default') the expected pick.
+            (88, 22, 88, 22, True, False, False, "high", "highest"),
+            (88, 22, 88, 22, True, False, False, "default", "highest"),
+            (88, 22, 88, 22, True, False, False, "highest", "default"),
+            (88, 22, 88, 22, True, False, False, "high", "default"),
+            (88, 22, 88, 22, True, False, False, "default", "default"),
+            # refit_fixed at LOW caps on the expected pick: the K=44 rows
+            # above show fixed-trip refits LOSE at rc20 but WIN at rc8
+            # (the saved per-trip cost passes beat <=8 forced trips) —
+            # re-gated at the pick's K/precision
+            (88, 22, 88, 8, True, False, True, "high", "default"),
+            (88, 22, 88, 12, True, False, True, "high", "default"),
         ]
-        import se_snmf_nat_tpu.dsp.stft as _stft_mod
         for point in points:
             k_blk, cap, bucket, refit_cap, fixed, split, rfix = point[:7]
             dft_prec = point[7] if len(point) > 7 else "highest"
-            _stft_mod.DFT_PRECISION = dft_prec
+            idft_prec = point[8] if len(point) > 8 else "highest"
             enh = SnmfEnhancer(
                 cfg, speech.b_dft, noise.b_dft, speech.b_dft,
                 noise.b_dft, dtype=jnp.float32, block_adapt=k_blk,
                 frame_bucket=bucket, block_iter_cap=cap,
                 dft_matmul=True, block_refit_cap=refit_cap,
                 block_fixed_iter=fixed, block_split_solve=split,
-                block_refit_fixed=rfix)
+                block_refit_fixed=rfix, dft_precision=dft_prec,
+                idft_precision=idft_prec)
             x_m03 = waves[0][0]
             frames = enh._pad_frames(enh.frames_for(x_m03))
             t_true = enh.frames_for(x_m03).shape[0]
@@ -839,7 +855,7 @@ def cmd_bench(args) -> int:
             row = {"k": k_blk, "cap": cap, "bucket": bucket,
                    "refit_cap": refit_cap, "fixed_iter": fixed,
                    "split": split, "refit_fixed": rfix,
-                   "dft_prec": dft_prec,
+                   "dft_prec": dft_prec, "idft_prec": idft_prec,
                    "frames_padded": int(frames.shape[0]),
                    "audio_s_per_s": round(audio_s / min(windows), 1)}
             # M03 quality from lane 0 of the timed program; LM quality
@@ -863,7 +879,6 @@ def cmd_bench(args) -> int:
                         float(np.abs(yq[:n] - g[:n]).mean()), 1)}
             row["corr_margin"] = round(min(corrs) - 0.99, 4)
             rows.append(row)
-        _stft_mod.DFT_PRECISION = "highest"     # restore the shipped knob
         # Pick policy (r4, the deliberate margin decision VERDICT r3 #4
         # asked for): the pick is the fastest point clearing BOTH the
         # >=margin_req corr margin over the .99 gate AND a >=0.0025
@@ -871,16 +886,17 @@ def cmd_bench(args) -> int:
         # (tests/test_oracle.py) on its WORST fixture.  No speed
         # fallback: after two rounds of "one wobble from red" findings,
         # the flagship plan never ships inside its own gates' noise —
-        # faster thin-margin points (e.g. the DFT-precision rows: 'high'
-        # +6.5% at LM .9950, 'default' +10.7% at LM .9948) stay recorded
-        # opt-ins.  tests/test_headline_pin.py re-derives this pick from
-        # the artifact and pins headline.py to it.
+        # thin-margin points (e.g. fwd-'default' DFT rows at LM ~.9948)
+        # stay recorded opt-ins however fast they are.
+        # tests/test_headline_pin.py re-derives this pick from the
+        # artifact and pins headline.py to it.
         ok = [r for r in rows if r["corr_margin"] >= margin_req
               and min(r["M03"]["corr"], r["LM"]["corr"]) >= 0.9955]
         pick = max(ok, key=lambda r: r["audio_s_per_s"]) if ok else None
         print(json.dumps({
-            "grid": "K x iter_cap x refit_cap x split x refit_fixed, "
-                    "dft_matmul=True, bucket=K, B=64, f32",
+            "grid": "K x iter_cap x refit_cap x split x refit_fixed x "
+                    "(dft_prec fwd, inv), dft_matmul=True, bucket=K, "
+                    "B=64, f32, unit-phasor stacked-matmul transform",
             "gate": 0.99, "headline_margin_req": margin_req,
             "test_gate_margin_req": 0.0025,
             "rows": rows,

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 
 # ---------------------------------------------------------------------------
@@ -130,6 +131,19 @@ _DFT_MATRIX_CACHE: dict = {}
 # margin on the fixtures, so it stays a knob for experiments only.
 DFT_PRECISION = "highest"
 
+# Synthesis (inverse) transform precision.  None = follow DFT_PRECISION.
+# Rationale for the split: analysis-DFT rounding perturbs the magnitudes
+# the NMF solves consume, so its error is AMPLIFIED through the solver
+# trajectory (the 'default' pareto rows lose .0009 corr on LM), while
+# synthesis rounding adds only LINEAR noise to the already-~9%-residual
+# output — measured (PARETO_r04 asymmetric rows): synthesis-only 'default'
+# keeps golden corr within +/-.0001 of the all-'highest' pick.
+IDFT_PRECISION = None
+
+
+def _idft_precision():
+    return DFT_PRECISION if IDFT_PRECISION is None else IDFT_PRECISION
+
 
 def dft_matrices(framelength: int, fftlength: int, dtype=np.float32):
     """Real DFT as two (framelength, F) matmul operands, and the inverse
@@ -176,10 +190,34 @@ def dft_matrices(framelength: int, fftlength: int, dtype=np.float32):
     return out
 
 
+def dft_matrices_stacked(framelength: int, fftlength: int, dtype=np.float32):
+    """The dft_matrices operands stacked for ONE matmul per direction:
+    forward (framelength, 2F) = [C | S] so ``y @ CS = [re | im]``, inverse
+    (2F, framelength) = [Ci ; Si] so ``[re | im] @ CiSi = y``.
+
+    TPU-first rationale: the MXU tiles the contraction's N dimension in
+    128-column blocks — F=513 pads to 640 (25% dead columns) while the
+    stacked 2F=1026 pads to 1152 (12%) — and one dispatch replaces two, so
+    the stacked transform is strictly better-tiled at identical FLOPs.
+    Each output element is the same dot product as in the two-matmul form.
+    """
+    key = ("stacked", framelength, fftlength, np.dtype(dtype).name)
+    hit = _DFT_MATRIX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    c, s, ci, si = dft_matrices(framelength, fftlength, dtype)
+    out = (np.concatenate([c, s], axis=1),
+           np.concatenate([ci, si], axis=0))
+    _DFT_MATRIX_CACHE[key] = out
+    return out
+
+
 def analysis_frames(frames: jnp.ndarray, win: jnp.ndarray, fftlength: int,
                     pow_: float, dc_bin: int, nonzerofloor: float,
                     preemph: float = 0.0,
-                    dft_matmul: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+                    dft_matmul: bool = False,
+                    precision: str | None = None
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(T, framelength) time frames -> (mag**pow (T, F), phase (T, F)).
 
     ``dft_matmul=True`` computes the transform as two MXU matmuls instead
@@ -188,11 +226,25 @@ def analysis_frames(frames: jnp.ndarray, win: jnp.ndarray, fftlength: int,
     pin bit-for-bit."""
     y = preemphasis(frames, preemph) * win[None, :]
     if dft_matmul:
-        c, s, _, _ = dft_matrices(y.shape[-1], fftlength, y.dtype)
-        re = jnp.dot(y, c, precision=DFT_PRECISION)
-        im = jnp.dot(y, s, precision=DFT_PRECISION)
-        phase = jnp.arctan2(im, re)
-        mag = (re * re + im * im) ** (pow_ / 2.0)
+        # ONE stacked (framelength, 2F) matmul (see dft_matrices_stacked),
+        # and the phase leaves as a UNIT PHASOR [cos | sin] (T, 2F), not an
+        # angle: the enhancement pipelines only ever apply real gains and
+        # hand the phase straight back to synthesis_frames, so the
+        # arctan2 here + cos/sin there — three transcendental VPU passes
+        # over (T, F) per utterance — are pure representation overhead.
+        # re/sqrt(re^2+im^2) is one rsqrt and exactly the same rotation
+        # (synthesis reconstructs amp*cos, amp*sin identically).
+        cs, _ = dft_matrices_stacked(y.shape[-1], fftlength, y.dtype)
+        reim = jnp.dot(y, cs, precision=precision or DFT_PRECISION)
+        f = fftlength // 2 + 1
+        re, im = reim[..., :f], reim[..., f:]
+        r2 = re * re + im * im
+        mag = r2 ** (pow_ / 2.0)
+        rs = jnp.where(r2 > 0.0, lax.rsqrt(jnp.maximum(r2, 1e-38)), 0.0)
+        # r == 0: arctan2(0, 0) = 0 -> cos 1, sin 0 (keep that convention)
+        cosp = jnp.where(r2 > 0.0, re * rs, 1.0)
+        sinp = im * rs
+        phase = jnp.concatenate([cosp, sinp], axis=-1)
     else:
         spec = jnp.fft.rfft(y, n=fftlength, axis=-1)
         phase = jnp.angle(spec)
@@ -226,7 +278,8 @@ def synthesis_frames(mag: jnp.ndarray, phase: jnp.ndarray, framelength: int,
                      fftlength: int, win: jnp.ndarray, pow_: float,
                      dc_bin_back: int, overlapscale: float,
                      preemph: float = 0.0,
-                     dft_matmul: bool = False) -> jnp.ndarray:
+                     dft_matmul: bool = False,
+                     precision: str | None = None) -> jnp.ndarray:
     """(T, F) mag**pow + phase -> (T, framelength) windowed time frames.
 
     Matches synth_ifft_buff.m: dc rows zeroed BEFORE the pow-th root, real
@@ -239,11 +292,16 @@ def synthesis_frames(mag: jnp.ndarray, phase: jnp.ndarray, framelength: int,
         mag = mag.at[:, :dc_bin_back].set(0.0)
     amp = mag ** (1.0 / pow_)
     if dft_matmul:
-        _, _, ci, si = dft_matrices(framelength, fftlength, amp.dtype)
-        re = amp * jnp.cos(phase)
-        im = amp * jnp.sin(phase)
-        y = (jnp.dot(re, ci, precision=DFT_PRECISION)
-             + jnp.dot(im, si, precision=DFT_PRECISION))
+        _, cisi = dft_matrices_stacked(framelength, fftlength, amp.dtype)
+        f = mag.shape[-1]
+        if phase.shape[-1] == 2 * f:
+            # unit-phasor representation from the matmul analysis path
+            # ([cos | sin], see analysis_frames) — no cos/sin pass needed
+            cosp, sinp = phase[..., :f], phase[..., f:]
+        else:
+            cosp, sinp = jnp.cos(phase), jnp.sin(phase)
+        reim = jnp.concatenate([amp * cosp, amp * sinp], axis=-1)
+        y = jnp.dot(reim, cisi, precision=precision or _idft_precision())
     else:
         spec = amp * jnp.exp(1j * phase)
         y = jnp.fft.irfft(spec, n=fftlength, axis=-1)[:, :framelength]

@@ -48,7 +48,9 @@ def supports_fast_plan(cfg: PipelineConfig) -> bool:
 
 
 def make_fast_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
-                  dtype=jnp.float32, dft_matmul: bool = False):
+                  dtype=jnp.float32, dft_matmul: bool = False,
+                  dft_precision: str | None = None,
+                  idft_precision: str | None = None):
     """Returns jitted run(frames (T,L)) -> y samples — the whole-utterance
     non-adaptive plan."""
     if not supports_fast_plan(cfg):
@@ -87,7 +89,8 @@ def make_fast_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
     def run(frames, win_arr):
         mag, phase = analysis_frames(
             frames, win_arr, s.fftlength, s.pow, s.dc_bin, s.nonzerofloor,
-            s.preemph, dft_matmul=dft_matmul)        # (T, F)
+            s.preemph, dft_matmul=dft_matmul,
+            precision=dft_precision)                 # (T, F)
         t = mag.shape[0]
         if mel_mode:
             ym_mel = mag @ melmat.T                  # (T, F_mel)
@@ -181,7 +184,7 @@ def make_fast_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         out_frames = synthesis_frames(
             xm_tilde, phase, s.framelength, s.fftlength, win_arr, s.pow,
             s.dc_bin_back, s.overlapscale, s.preemph,
-            dft_matmul=dft_matmul)
+            dft_matmul=dft_matmul, precision=idft_precision)
         return overlap_add(out_frames, s.frameshift)
 
     return run

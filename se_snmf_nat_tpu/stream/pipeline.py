@@ -43,7 +43,9 @@ class SnmfEnhancer:
                  dft_matmul: bool = False, block_refit_cap: int = 0,
                  block_fixed_iter: bool = False,
                  block_split_solve: bool = False,
-                 block_refit_fixed: bool = False):
+                 block_refit_fixed: bool = False,
+                 dft_precision: str | None = None,
+                 idft_precision: str | None = None):
         self.cfg = cfg or default_config()
         s = self.cfg.signal
         self.dtype = dtype
@@ -56,6 +58,13 @@ class SnmfEnhancer:
         # dsp/stft.dft_matrices); default off so the x64 oracle bit-parity
         # gates stay pinned to jnp.fft
         self.dft_matmul = bool(dft_matmul)
+        # per-direction matmul-transform precision overrides (None = the
+        # dsp/stft module defaults, 'highest' both ways).  The headline
+        # plan runs analysis 'high' / synthesis 'default' — see
+        # stream/block_adaptive.make_block_adaptive_run for the measured
+        # asymmetry rationale.  Only meaningful with dft_matmul=True.
+        self.dft_precision = dft_precision
+        self.idft_precision = idft_precision
         self.engine = make_engine(self.cfg, b1_x, b1_d, b2_x, b2_d, dtype,
                                   warm_start=warm_start)
         self.win = jnp.asarray(sqrt_hann_periodic(s.framelength), dtype)
@@ -72,7 +81,9 @@ class SnmfEnhancer:
         from se_snmf_nat_tpu.stream.fast_pipeline import (
             make_fast_run, supports_fast_plan)
         self._fast_run = (make_fast_run(self.cfg, b1_x, b1_d, b2_x, b2_d,
-                                        dtype, dft_matmul=self.dft_matmul)
+                                        dtype, dft_matmul=self.dft_matmul,
+                                        dft_precision=dft_precision,
+                                        idft_precision=idft_precision)
                           if supports_fast_plan(self.cfg) and not warm_start
                           else None)
         self._fast_run_batch = (
@@ -98,7 +109,9 @@ class SnmfEnhancer:
                 refit_iter_cap=block_refit_cap,
                 fixed_iter=block_fixed_iter,
                 split_solve=block_split_solve,
-                refit_fixed=block_refit_fixed)
+                refit_fixed=block_refit_fixed,
+                dft_precision=dft_precision,
+                idft_precision=idft_precision)
             self._block_run_batch = jax.jit(
                 jax.vmap(self._block_run, in_axes=(0, 0, None, 0)))
 
@@ -116,7 +129,8 @@ class SnmfEnhancer:
         def run(frames, state0, t_valid):
             mag, phase = analysis_frames(
                 frames, self.win, s.fftlength, s.pow, s.dc_bin,
-                s.nonzerofloor, s.preemph, dft_matmul=self.dft_matmul)
+                s.nonzerofloor, s.preemph, dft_matmul=self.dft_matmul,
+                precision=self.dft_precision)
             t = mag.shape[0]
             ls = jnp.arange(1, t + 1, dtype=jnp.int32)
             state, xm_tilde = jax.lax.scan(masked_step(t_valid), state0,
@@ -124,7 +138,7 @@ class SnmfEnhancer:
             out_frames = synthesis_frames(
                 xm_tilde, phase, s.framelength, s.fftlength, self.win, s.pow,
                 s.dc_bin_back, s.overlapscale, s.preemph,
-                dft_matmul=self.dft_matmul)
+                dft_matmul=self.dft_matmul, precision=self.idft_precision)
             y = overlap_add(out_frames, s.frameshift)
             return y, state
 
@@ -244,7 +258,8 @@ class SnmfEnhancer:
                 # previously every distinct length recompiled the plan
                 mag, phase = analysis_frames(
                     frames, self.win, s.fftlength, s.pow, s.dc_bin,
-                    s.nonzerofloor, s.preemph, dft_matmul=self.dft_matmul)
+                    s.nonzerofloor, s.preemph, dft_matmul=self.dft_matmul,
+                    precision=self.dft_precision)
                 t = mag.shape[0]
                 ls = jnp.arange(1, t + 1, dtype=jnp.int32)
                 idx = jnp.arange(t, dtype=jnp.int32)
@@ -266,7 +281,8 @@ class SnmfEnhancer:
                     fr = synthesis_frames(
                         m, phase, s.framelength, s.fftlength, self.win,
                         s.pow, s.dc_bin_back, s.overlapscale, s.preemph,
-                        dft_matmul=self.dft_matmul)
+                        dft_matmul=self.dft_matmul,
+                        precision=self.idft_precision)
                     return overlap_add(fr, s.frameshift)
 
                 y = synth(xm)

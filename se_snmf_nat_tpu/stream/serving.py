@@ -111,6 +111,8 @@ class MultiStreamSession:
         # output keeps its solo-session/offline bit-identity when the
         # MXU-matmul DFT fast path is enabled
         dm = bool(getattr(enhancer, "dft_matmul", False))
+        fp = getattr(enhancer, "dft_precision", None)
+        ip = getattr(enhancer, "idft_precision", None)
 
         def run_one(frames, state, l0, n_valid):
             # same per-lane program as StreamingSession.run_block; the
@@ -118,7 +120,7 @@ class MultiStreamSession:
             # reset lane's engine clock restarts independently)
             mag, phase = analysis_frames(
                 frames, win, s.fftlength, s.pow, s.dc_bin,
-                s.nonzerofloor, s.preemph, dft_matmul=dm)
+                s.nonzerofloor, s.preemph, dft_matmul=dm, precision=fp)
             k = frames.shape[0]
             idx = jnp.arange(k, dtype=jnp.int32)
 
@@ -133,7 +135,8 @@ class MultiStreamSession:
             state, xm = jax.lax.scan(step, state, (mag, l0 + idx, idx))
             out = synthesis_frames(
                 xm, phase, s.framelength, s.fftlength, win, s.pow,
-                s.dc_bin_back, s.overlapscale, s.preemph, dft_matmul=dm)
+                s.dc_bin_back, s.overlapscale, s.preemph, dft_matmul=dm,
+                precision=ip)
             return out, state
 
         self._run_block = jax.jit(
@@ -151,13 +154,14 @@ class MultiStreamSession:
             def run_one_fast(frames, state, ptr, l0):
                 mag, phase = analysis_frames(
                     frames, win, s.fftlength, s.pow, s.dc_bin,
-                    s.nonzerofloor, s.preemph, dft_matmul=dm)
+                    s.nonzerofloor, s.preemph, dft_matmul=dm, precision=fp)
                 ls = l0 + jnp.arange(frames.shape[0], dtype=jnp.int32)
                 ok = jnp.ones(frames.shape[0], bool)
                 (state, ptr), xm = ba_step((state, ptr), (mag, ls, ok))
                 out = synthesis_frames(
                     xm, phase, s.framelength, s.fftlength, win, s.pow,
-                    s.dc_bin_back, s.overlapscale, s.preemph, dft_matmul=dm)
+                    s.dc_bin_back, s.overlapscale, s.preemph, dft_matmul=dm,
+                    precision=ip)
                 return out, state, ptr
 
             self._run_block_fast = jax.jit(

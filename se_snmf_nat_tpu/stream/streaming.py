@@ -52,6 +52,8 @@ class StreamingSession:
         # stays bit-identical to the offline plan when the MXU-matmul DFT
         # fast path is enabled (dsp/stft.dft_matrices)
         dm = bool(getattr(enhancer, "dft_matmul", False))
+        fp = getattr(enhancer, "dft_precision", None)
+        ip = getattr(enhancer, "idft_precision", None)
 
         @jax.jit
         def run_block(frames, state, l0, n_valid):
@@ -59,7 +61,7 @@ class StreamingSession:
             # partial tail block reuses the same executable
             mag, phase = analysis_frames(
                 frames, win, s.fftlength, s.pow, s.dc_bin,
-                s.nonzerofloor, s.preemph, dft_matmul=dm)
+                s.nonzerofloor, s.preemph, dft_matmul=dm, precision=fp)
             k = frames.shape[0]
             idx = jnp.arange(k, dtype=jnp.int32)
 
@@ -75,7 +77,8 @@ class StreamingSession:
                                      (mag, l0 + idx, idx))
             out = synthesis_frames(
                 xm, phase, s.framelength, s.fftlength, win, s.pow,
-                s.dc_bin_back, s.overlapscale, s.preemph, dft_matmul=dm)
+                s.dc_bin_back, s.overlapscale, s.preemph, dft_matmul=dm,
+                precision=ip)
             return out, state
 
         self._run_block = run_block
@@ -97,13 +100,14 @@ class StreamingSession:
             def run_block_fast(frames, state, ptr, l0):
                 mag, phase = analysis_frames(
                     frames, win, s.fftlength, s.pow, s.dc_bin,
-                    s.nonzerofloor, s.preemph, dft_matmul=dm)
+                    s.nonzerofloor, s.preemph, dft_matmul=dm, precision=fp)
                 ls = l0 + jnp.arange(frames.shape[0], dtype=jnp.int32)
                 ok = jnp.ones(frames.shape[0], bool)
                 (state, ptr), xm = ba_step((state, ptr), (mag, ls, ok))
                 out = synthesis_frames(
                     xm, phase, s.framelength, s.fftlength, win, s.pow,
-                    s.dc_bin_back, s.overlapscale, s.preemph, dft_matmul=dm)
+                    s.dc_bin_back, s.overlapscale, s.preemph, dft_matmul=dm,
+                    precision=ip)
                 return out, state, ptr
 
             self._run_block_fast = run_block_fast

@@ -219,12 +219,49 @@ def test_dft_matmul_matches_fft():
         m2, p2 = analysis_frames(fr, win, 1024, 2.0, 5, 1e-6, preemph,
                                  dft_matmul=True)
         assert float(jnp.max(jnp.abs(m1 - m2))) < 1e-5 * float(jnp.max(m1))
-        # compare phases on the unit circle (atan2 branch-safe)
+        # the matmul path returns the phase as a (T, 2F) unit phasor
+        # [cos | sin]; compare against the fft path's angle on the unit
+        # circle (atan2 branch-safe)
+        f = m1.shape[-1]
+        assert p2.shape == (m2.shape[0], 2 * f)
+        ph2 = (p2[:, :f] + 1j * p2[:, f:]).astype(jnp.complex128)
         assert float(jnp.max(jnp.abs(jnp.exp(1j * p1.astype(jnp.float64))
-                                     - jnp.exp(1j * p2.astype(jnp.float64))
-                                     ))) < 1e-4
+                                     - ph2))) < 1e-4
+        # phasor magnitudes stay on the unit circle (incl. guarded bins)
+        assert float(jnp.max(jnp.abs(jnp.abs(ph2) - 1.0))) < 1e-5
         y1 = synthesis_frames(m1, p1, 640, 1024, win, 2.0, 5, 0.5, preemph)
+        # the matmul synthesis accepts BOTH representations: an angle
+        # phase (fft-path interop) and the phasor from its own analysis
         y2 = synthesis_frames(m1, p1, 640, 1024, win, 2.0, 5, 0.5, preemph,
+                              dft_matmul=True)
+        y3 = synthesis_frames(m2, p2, 640, 1024, win, 2.0, 5, 0.5, preemph,
                               dft_matmul=True)
         scale = float(jnp.max(jnp.abs(y1)))
         assert float(jnp.max(jnp.abs(y1 - y2))) < 1e-5 * scale
+        assert float(jnp.max(jnp.abs(y1 - y3))) < 1e-5 * scale
+
+
+def test_dft_matmul_precision_plumbing():
+    """The per-direction precision kwargs (dsp/stft analysis/synthesis
+    ``precision``, threaded from SnmfEnhancer dft_precision/idft_precision
+    — the headline plan runs analysis 'high' / synthesis 'default') must
+    reach the transform without changing semantics.  On the CPU backend
+    every matmul precision tier is the same f32 math, so all combos are
+    gated EXACTLY equal here; the on-TPU numeric difference is measured
+    and quality-gated by ``bench --pareto`` (PARETO_r04 asymmetric rows).
+    """
+    rng = np.random.default_rng(7)
+    win = jnp.asarray(sqrt_hann_periodic(640), jnp.float32)
+    fr = jnp.asarray(rng.standard_normal((9, 640)) * 800.0, jnp.float32)
+    base_m, base_p = analysis_frames(fr, win, 1024, 2.0, 5, 1e-6, 0.0,
+                                     dft_matmul=True)
+    base_y = synthesis_frames(base_m, base_p, 640, 1024, win, 2.0, 5, 0.5,
+                              0.0, dft_matmul=True)
+    for prec in ("highest", "high", "default"):
+        m, p = analysis_frames(fr, win, 1024, 2.0, 5, 1e-6, 0.0,
+                               dft_matmul=True, precision=prec)
+        y = synthesis_frames(m, p, 640, 1024, win, 2.0, 5, 0.5, 0.0,
+                             dft_matmul=True, precision=prec)
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(base_m))
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(base_p))
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(base_y))

@@ -61,9 +61,10 @@ def test_headline_plan_matches_pareto_pick():
         "fixed_iter": HEADLINE_PLAN["block_fixed_iter"],
         "split": HEADLINE_PLAN.get("block_split_solve", False),
         "refit_fixed": HEADLINE_PLAN.get("block_refit_fixed", False),
-        "dft_prec": HEADLINE_PLAN.get("dft_precision", "highest"),
+        "dft_prec": HEADLINE_PLAN.get("dft_precision") or "highest",
+        "idft_prec": HEADLINE_PLAN.get("idft_precision") or "highest",
     }
-    pick_fields = {f: pick.get(f, "highest" if f == "dft_prec" else False)
+    pick_fields = {f: pick.get(f, "highest" if f.endswith("prec") else False)
                    for f in plan_as_row}
     assert plan_as_row == pick_fields, (
         f"headline.py HEADLINE_PLAN {plan_as_row} != {name} pick "

@@ -210,8 +210,19 @@ def test_slow_reader_cut_off_not_stalling_fleet(enh):
             cut = asyncio.Event()
 
             async def slow_client():
-                reader, writer = await asyncio.open_connection(
-                    "127.0.0.1", srv.port)
+                # clamp the CLIENT receive buffer BEFORE connect (window
+                # scaling is fixed at handshake): on hosts with large
+                # tcp_rmem autotuning the client kernel otherwise absorbs
+                # hundreds of KB of unread output, so the server-side
+                # write backlog this test waits for never materializes at
+                # the ~320 B/tick production rate (measured: wbuf stayed 0
+                # after 254 KB sent on a 6.18 kernel)
+                sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+                sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1)
+                sock.setblocking(False)
+                await asyncio.get_running_loop().sock_connect(
+                    sock, ("127.0.0.1", srv.port))
+                reader, writer = await asyncio.open_connection(sock=sock)
                 await reader.readline()
                 # shrink the SERVER-side send buffer for THIS lane (matched
                 # by peer address) so the unread output backs into the
