@@ -1334,6 +1334,12 @@ def cmd_bench(args) -> int:
         out = {"pmwf_6ch": {
             "call_s": round(pmwf_el, 3),
             "audio_s_per_s": round(len(x) / fs / pmwf_el, 1),
+            # finite gate: rolled copies of one channel are perfectly
+            # coherent — the adversarial covariance conditioning case
+            # (see pmwf.pmwf_filters loading note); before the r4
+            # HIGHEST-precision cov einsum + eps-relative loading this
+            # bench timed NaN outputs without noticing
+            "output_finite": bool(np.isfinite(np.asarray(y)).all()),
             "note": "offline block-mean plan, one 6-ch utterance per call "
                     "(kept for r3 comparability)"}}
 
@@ -1373,6 +1379,7 @@ def cmd_bench(args) -> int:
             out[f"pmwf_stream_batch{b_lanes}"] = {
                 "call_s": round(el, 3),
                 "audio_s_per_s": round(b_lanes * len(x) / fs / el, 1),
+                "output_finite": bool(np.isfinite(np.asarray(ys)).all()),
                 "note": "streaming semantics (running cov + init freeze), "
                         f"{b_lanes} lanes x 6 ch, per-frame filters"}
 

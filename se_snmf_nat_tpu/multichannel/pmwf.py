@@ -66,8 +66,13 @@ def spectro_temporal_cov(y: jnp.ndarray, m_nbr: int, l_nbr: int
         rolled = jnp.roll(y, -dm, axis=1)
         shifts.append(jnp.where(interior[None, :, None], rolled, y))
     ystack = jnp.stack(shifts, axis=0)             # (2M+1, C, F, T)
-    # per-frame frequency-neighborhood outer products
-    r = jnp.einsum("mcft,mdft->tfcd", ystack, jnp.conj(ystack))
+    # per-frame frequency-neighborhood outer products — HIGH precision:
+    # the TPU-default bf16 MXU passes leave this Hermitian sum INDEFINITE
+    # at ~1e-4 relative (see streaming.window_cov note), which the
+    # downstream diagonally-loaded Cholesky cannot survive; bf16x3
+    # ('high') measures f32-equivalent PSD-ness at half 'highest' cost
+    r = jnp.einsum("mcft,mdft->tfcd", ystack, jnp.conj(ystack),
+                   precision=jax.lax.Precision.HIGH)
     # temporal box sum of width 2L+1 with edge clamping
     if l_nbr > 0:
         pad = jnp.pad(r, ((l_nbr, l_nbr), (0, 0), (0, 0), (0, 0)),
@@ -98,15 +103,29 @@ def solve_hpd_small(a: jnp.ndarray, b: jnp.ndarray,
     c = a.shape[-1]
     if c > max_unrolled:
         return jnp.linalg.solve(a, b)
-    # Cholesky a = L L^H, unrolled (diagonal is real positive for HPD)
+    # Cholesky a = L L^H, unrolled (diagonal is real positive for HPD).
+    # Pivot floor: coherent multichannel input (e.g. copies of one signal
+    # with sample offsets — also real mic arrays at low frequencies) makes
+    # the covariance rank-1 with entries >> diag_load, so the absolute
+    # eps*I the reference adds (PMWF_sep_event_RT_CHiME.m:148) is below
+    # the working dtype's rounding and the Schur complement can round
+    # NEGATIVE -> sqrt -> NaN poisons the whole filter bank.  Clamping
+    # each pivot to an eps-relative floor of its own diagonal entry is
+    # bit-exact (max(x, smaller)=x) whenever the solve is well-conditioned
+    # and acts as rounding-level regularization exactly where f64 MATLAB's
+    # inv() was only surviving by rounding luck.
+    eps = jnp.finfo(a.dtype).eps     # real-typed for complex dtypes
+    tiny = jnp.finfo(a.dtype).tiny
     l = [[None] * c for _ in range(c)]
     for i in range(c):
+        flr = eps * jnp.real(a[..., i, i]) + tiny
         for j in range(i + 1):
             s = a[..., i, j]
             for k in range(j):
                 s = s - l[i][k] * jnp.conj(l[j][k])
             if i == j:
-                l[i][j] = jnp.sqrt(jnp.real(s)).astype(a.dtype)
+                l[i][j] = jnp.sqrt(
+                    jnp.maximum(jnp.real(s), flr)).astype(a.dtype)
             else:
                 l[i][j] = s / l[j][j]
     # forward substitution L y = b  (columns of b solved together)
@@ -134,10 +153,27 @@ def pmwf_filters(ncov: jnp.ndarray, ecov: jnp.ndarray, beta: float,
 
     The per-bin solve runs as the unrolled HPD Cholesky
     (``solve_hpd_small``) — (Ncov + diag_load*I) is PSD + eps*I by
-    construction."""
+    construction.
+
+    Loading is the reference's ABSOLUTE diag_load plus an eps-RELATIVE
+    term at the working precision (eps * trace/C per bin).  Rationale:
+    coherent channels (copies of one signal with sample offsets; real mic
+    arrays at low frequencies) make Ncov rank-1 with entries many orders
+    above diag_load, so the absolute load alone is below the dtype's
+    rounding — the solve's condition number then exceeds 1/eps and in
+    complex64 the result overflows f32 (inf), after which the
+    1/(beta+trace) normalize turns it into NaN and poisons the whole
+    output (measured: 6 coherent channels NaN from the first emitted
+    frame).  The relative term bounds the condition number at ~C/eps
+    while perturbing well-conditioned solves only at rounding level —
+    in float64 it adds ~2e-16*trace, below the reference f64 inv()'s own
+    rounding, so reference semantics are preserved where they are
+    numerically meaningful at all."""
     f, c, _ = ncov.shape
     eye = jnp.eye(c, dtype=ncov.dtype)
-    necov = solve_hpd_small(ncov + diag_load * eye[None], ecov)
+    tr_n = jnp.real(jnp.trace(ncov, axis1=1, axis2=2))[:, None, None]
+    load = diag_load + jnp.finfo(ncov.dtype).eps * tr_n / c
+    necov = solve_hpd_small(ncov + load * eye[None], ecov)
     lam = jnp.trace(necov, axis1=1, axis2=2)[:, None, None]
     scaled = necov / (beta + lam + flr)
     # H[j,:,f] = scaled[:, j] -> arrange as (F, out_ch j, in_ch c)

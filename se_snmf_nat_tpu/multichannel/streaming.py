@@ -84,7 +84,17 @@ def window_cov(y_win: jnp.ndarray, m_nbr: int) -> jnp.ndarray:
         rolled = jnp.roll(y_win, -dm, axis=1)
         shifts.append(jnp.where(interior[None, :, None], rolled, y_win))
     ystack = jnp.stack(shifts, axis=0)              # (2M+1, C, F, 2L+1)
-    return jnp.einsum("mcfl,mdfl->fcd", ystack, jnp.conj(ystack))
+    # HIGH precision: at the TPU default this contraction runs as bf16
+    # MXU passes whose rounding (~1e-4 relative, measured min-eig/trace
+    # -1.3e-4) makes the Hermitian sum INDEFINITE far beyond any
+    # f32-scale diagonal load, and the downstream Cholesky solve blows up
+    # to inf/NaN (measured: 6 coherent channels NaN from the first
+    # frame).  bf16x3 ('high') measures the SAME min-eig/trace as full
+    # f32 ('highest', +4e-6 both) at half the cost for this 25-element
+    # reduction; behind it sit the eps-relative diagonal load and the
+    # pivot floor (pmwf.pmwf_filters / solve_hpd_small) as backstops.
+    return jnp.einsum("mcfl,mdfl->fcd", ystack, jnp.conj(ystack),
+                      precision=jax.lax.Precision.HIGH)
 
 
 def make_pmwf_stream_step(params: PmwfParams):

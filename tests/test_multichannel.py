@@ -121,3 +121,57 @@ def test_pmwf_beamforming_gains_snr():
     ref_corr = np.corrcoef(x[0][lo:hi], target[lo:hi])[0, 1]
     out_corr = np.corrcoef(out[0][lo:hi], target[lo:hi])[0, 1]
     assert out_corr > ref_corr
+
+
+def test_solve_hpd_small_coherent_rank1_no_nan():
+    """f32 robustness gate for the unrolled Cholesky's pivot floor.
+
+    Perfectly coherent channels (one signal with per-channel sample
+    offsets — the adversarial form of real mic-array coherence at low
+    frequencies) make the per-bin covariance rank-1 with entries many
+    orders above the reference's ABSOLUTE eps*I load
+    (PMWF_sep_event_RT_CHiME.m:148): in complex64 the Schur complement
+    rounds negative and an unguarded sqrt poisons the filter bank with
+    NaN.  The eps-relative pivot floor must (a) keep degenerate solves
+    finite and (b) be bit-exact on well-conditioned solves."""
+    from se_snmf_nat_tpu.multichannel.pmwf import solve_hpd_small
+    rng = np.random.default_rng(3)
+    c = 3
+    # (a) rank-1, entries ~1e8, absolute load 1e-3 (the shipped default)
+    d = (rng.standard_normal(c) + 1j * rng.standard_normal(c)) * 1e4
+    a1 = np.outer(d, d.conj())[None] * np.ones((7, 1, 1)) \
+        + 1e-3 * np.eye(c)[None]
+    b1 = (rng.standard_normal((7, c, c))
+          + 1j * rng.standard_normal((7, c, c)))
+    x1 = np.asarray(solve_hpd_small(jnp.asarray(a1, jnp.complex64),
+                                    jnp.asarray(b1, jnp.complex64)))
+    assert np.isfinite(x1).all()
+    # (b) well-conditioned: matches the LAPACK solve to f32 tolerance
+    m = rng.standard_normal((7, c, c)) + 1j * rng.standard_normal((7, c, c))
+    a2 = m @ np.conj(np.swapaxes(m, 1, 2)) + np.eye(c)[None]
+    x2 = np.asarray(solve_hpd_small(jnp.asarray(a2, jnp.complex64),
+                                    jnp.asarray(b1, jnp.complex64)))
+    np.testing.assert_allclose(x2, np.linalg.solve(a2, b1),
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_pmwf_streaming_coherent_input_finite():
+    """End-to-end form of the coherent-covariance NaN gate: a 6-channel
+    stream of one rolled signal through PmwfStreamingSession (f32, the
+    demo/serving configuration) must emit finite PCM.  Six channels is
+    the shape that MEASURED NaN-from-the-first-frame before the
+    eps-relative loading (the C=6 substitution chain amplifies the
+    clamped-pivot solve past f32 max; C=3 merely produced ~1e11 garbage,
+    so this gate must stay at C>=6)."""
+    from se_snmf_nat_tpu.multichannel.streaming import PmwfStreamingSession
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal(9000) * 3000.0).astype(np.float64)
+    xs = np.stack([np.roll(x, 7 * c) for c in range(6)])
+    sess = PmwfStreamingSession(n_ch=6, block_frames=8, dtype=jnp.float32)
+    outs = [sess.push(xs[:, i: i + 1600], quantize=False)
+            for i in range(0, 9000, 1600)]
+    y = np.concatenate([o for o in outs if o.size] + [
+        sess.flush(quantize=False)], axis=1)
+    assert y.size and np.isfinite(y).all()
+    # the enhanced output must also be non-degenerate (not all zeros)
+    assert float(np.abs(y).max()) > 1.0
