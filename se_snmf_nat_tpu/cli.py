@@ -1280,7 +1280,8 @@ def cmd_bench(args) -> int:
         from se_snmf_nat_tpu.config import default_config
         from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
         from se_snmf_nat_tpu.runtime.profiling import (
-            measure_serving_capacity, measure_serving_device_ceiling)
+            measure_serving_capacity, measure_serving_device_ceiling,
+            measure_serving_device_ceiling_sharded)
         from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
         cfg = default_config()
         speech, noise = load_reference_speech_noise(cfg.sep.r_d)
@@ -1290,6 +1291,11 @@ def cmd_bench(args) -> int:
         # r4: the measured compute-bound ceiling next to the tunnel
         # numbers (co-located deployment story — VERDICT r3 #3)
         rep["device_ceiling"] = measure_serving_device_ceiling(enh)
+        # late r4: the single-program ceiling's >192-lane residency cliff
+        # is sidestepped by sharding the fleet into N sessions ticked in
+        # sequence — measure the sharded ceiling the same device-only way
+        rep["device_ceiling_sharded"] = (
+            measure_serving_device_ceiling_sharded(enh))
         print(json.dumps(rep))
         return 0
     if args.scaling:

@@ -137,6 +137,56 @@ def measure_serving_capacity(enh, fleet_sizes=(1, 8, 32, 64, 128, 256),
             "blocks": blocks}
 
 
+def _fleet_tick_window(enh, lanes: int, block_frames: int, n_inner: int,
+                       rng):
+    """One sub-fleet's chained-tick scan window — the shared core of both
+    device-ceiling measurements (the microbenchmark protocol lives ONCE
+    here: distinct inputs, carry chained window to window, scalar fetch to
+    close — the CLAUDE.md tunnel-trap discipline).
+
+    Builds one samples-wire MultiStreamSession of ``lanes`` lanes, jits a
+    window of ``n_inner`` consecutive ticks inside one lax.scan (the carry
+    chains queue/acc/state/l0 tick to tick, so a window is a single
+    dispatch and XLA cannot elide ticks), compiles + warms it once, and
+    returns ``(ticks, make_hops, carry)`` where ``ticks(hops, *carry) ->
+    (carry', sums)`` and ``make_hops()`` draws a fresh distinct hop batch.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from se_snmf_nat_tpu.stream.serving import MultiStreamSession
+
+    s = enh.cfg.signal
+    shift = s.frameshift
+    fleet = MultiStreamSession(enh, lanes, block_frames=block_frames,
+                               wire="samples")
+    run = fleet._run_block_samples
+
+    def make_hops():
+        return jnp.asarray(
+            np.rint(rng.standard_normal(
+                (lanes, block_frames, shift)) * 2000.0), enh.dtype)
+
+    l0 = jnp.ones((lanes,), jnp.int32)
+
+    @jax.jit
+    def ticks(hops, queue, acc, state, l0):
+        def body(carry, _):
+            queue, acc, state, l0 = carry
+            pcm, queue, acc, state = run(hops, queue, acc, state, l0)
+            return ((queue, acc, state, l0 + block_frames),
+                    jnp.sum(pcm.astype(jnp.float32)))
+        carry, sums = jax.lax.scan(
+            body, (queue, acc, state, l0), None, length=n_inner)
+        return carry, sums
+
+    carry = (fleet._queue_dev, fleet._acc_dev, fleet.state, l0)
+    carry, sums = ticks(make_hops(), *carry)      # compile + warm
+    float(jnp.sum(sums))
+    return ticks, make_hops, carry
+
+
 def measure_serving_device_ceiling(enh, fleet_sizes=(128, 256, 384, 512),
                                    block_frames: int = 8,
                                    n_inner: int = 25) -> dict:
@@ -148,17 +198,14 @@ def measure_serving_device_ceiling(enh, fleet_sizes=(128, 256, 384, 512),
     measures it: the samples-wire tick program (MultiStreamSession
     run_one_samples — framing, engine scan, iSTFT, OLA, int16-write, all
     in-graph) runs ``n_inner`` consecutive ticks inside ONE jitted
-    lax.scan whose carry chains (queue, acc, state, l0) tick to tick, so a
-    window is a single dispatch and wall/n_inner is pure device time per
-    tick (no per-tick dispatch, no PCM fetch; XLA cannot elide ticks — the
-    carry feeds forward).  A fleet is compute-real-time when that device
-    tick fits its own audio duration.
+    lax.scan window (``_fleet_tick_window``), so wall/n_inner is pure
+    device time per tick (no per-tick dispatch, no PCM fetch).  A fleet
+    is compute-real-time when that device tick fits its own audio
+    duration.
     """
     import numpy as np
-    import jax
     import jax.numpy as jnp
-
-    from se_snmf_nat_tpu.stream.serving import MultiStreamSession
+    import jax
 
     s = enh.cfg.signal
     shift = s.frameshift
@@ -166,32 +213,13 @@ def measure_serving_device_ceiling(enh, fleet_sizes=(128, 256, 384, 512),
     rng = np.random.default_rng(0)
     rows = []
     for b in fleet_sizes:
-        fleet = MultiStreamSession(enh, b, block_frames=block_frames,
-                                   wire="samples")
-        run = fleet._run_block_samples
-        hops = jnp.asarray(
-            np.rint(rng.standard_normal((b, block_frames, shift)) * 2000.0),
-            enh.dtype)
-        l0 = jnp.ones((b,), jnp.int32)
-
-        @jax.jit
-        def ticks(hops, queue, acc, state, l0):
-            def body(carry, _):
-                queue, acc, state, l0 = carry
-                pcm, queue, acc, state = run(hops, queue, acc, state, l0)
-                return ((queue, acc, state, l0 + block_frames),
-                        jnp.sum(pcm.astype(jnp.float32)))
-            carry, sums = jax.lax.scan(
-                body, (queue, acc, state, l0), None, length=n_inner)
-            return carry, sums
-
-        carry = (fleet._queue_dev, fleet._acc_dev, fleet.state, l0)
-        carry, sums = ticks(hops, *carry[:3], carry[3])   # compile + warm
-        float(jnp.sum(sums))
+        ticks, make_hops, carry = _fleet_tick_window(
+            enh, b, block_frames, n_inner, rng)
+        hops = make_hops()
         laps = []
         for _ in range(3):
             t0 = time.perf_counter()
-            carry, sums = ticks(hops, *carry[:3], carry[3])
+            carry, sums = ticks(hops, *carry)
             float(jnp.sum(sums))                          # closes window
             laps.append((time.perf_counter() - t0) / n_inner)
         tick_ms = min(laps) * 1e3
@@ -208,6 +236,81 @@ def measure_serving_device_ceiling(enh, fleet_sizes=(128, 256, 384, 512),
                     f"{n_inner} chained ticks); the tunnel tables above "
                     "bound this bench's wire, this bounds a co-located "
                     "deployment",
+            "table": rows}
+
+
+def measure_serving_device_ceiling_sharded(
+        enh, shard_plans=((2, 128), (3, 96), (4, 80)),
+        block_frames: int = 8, n_inner: int = 25) -> dict:
+    """Compute-bound ceiling for a SHARDED fleet: N independent
+    MultiStreamSession sub-fleets ticked back-to-back on one chip.
+
+    Rationale: the single-program ceiling (measure_serving_device_ceiling)
+    hits a residency cliff between 192 and 224 lanes — per-lane tick time
+    more than doubles (0.31 -> 0.74 ms), so one program cannot serve more
+    than 192 streams in the 80 ms deadline.  But the cliff is a
+    working-set/tiling property of the ONE fused tick program, not of the
+    chip's throughput: two 128-lane programs each keep the good tiling and
+    together fit the deadline (2 x 38.4 = 76.8 ms < 80 ms = 256 streams).
+    A deployment realizes this by simply creating N sessions and ticking
+    them in sequence — no new mechanism, each sub-fleet's outputs stay
+    bit-identical to solo sessions.
+
+    Methodology: ONE ``_fleet_tick_window`` per plan (all N shards share
+    its executable — one compile per distinct lane count; lane counts not
+    measured by the unsharded bench do compile fresh scan programs, 1-3
+    min each on TPU), per-shard carries and distinct per-shard inputs, and
+    a lap dispatches all N shard windows asynchronously back-to-back
+    before fetching any result — the device executes them serially,
+    dispatch overhead hides under the previous window's execution, and
+    wall/n_inner is the device time for one full-fleet round plus a
+    residual of at most one window's dispatch (i.e. the number reported
+    is a conservative UPPER bound on device time).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    s = enh.cfg.signal
+    shift = s.frameshift
+    deadline_ms = block_frames * shift / s.fs * 1e3
+    rng = np.random.default_rng(0)
+    rows = []
+    for n_shards, lanes in shard_plans:
+        ticks, make_hops, carry0 = _fleet_tick_window(
+            enh, lanes, block_frames, n_inner, rng)
+        hops = [make_hops() for _ in range(n_shards)]
+        # every shard starts from the same freshly-warmed carry (identical
+        # initial session state); the distinct per-shard hop streams
+        # diverge them from the first window on
+        carries = [carry0] * n_shards
+        laps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = []
+            for i in range(n_shards):             # all windows in flight
+                carries[i], sums = ticks(hops[i], *carries[i])
+                outs.append(sums)
+            for sums in outs:                     # then close the window
+                float(jnp.sum(sums))
+            laps.append((time.perf_counter() - t0) / n_inner)
+        tick_ms = min(laps) * 1e3
+        total = n_shards * lanes
+        rows.append({
+            "shards": int(n_shards), "lanes_per_shard": int(lanes),
+            "total_streams": int(total),
+            "device_round_ms": round(tick_ms, 2),
+            "device_ms_per_lane": round(tick_ms / total, 4),
+            "real_time": bool(tick_ms < deadline_ms)})
+    ok = [r["total_streams"] for r in rows if r["real_time"]]
+    return {"block_frames": block_frames,
+            "deadline_ms": round(deadline_ms, 1),
+            "max_compute_real_time_streams": max(ok) if ok else 0,
+            "note": "N sub-fleet chained-scan windows dispatched "
+                    f"back-to-back ({n_inner} rounds each, results "
+                    "fetched only after all are in flight — reported "
+                    "round time is an upper bound incl. at most one "
+                    "window's dispatch residual); sidesteps the "
+                    ">192-lane single-program residency cliff",
             "table": rows}
 
 

@@ -263,6 +263,25 @@ def test_fleet_dft_matmul_matches_single(enh, m03_wav):
     sess = StreamingSession(enh_dm, block_frames=8)
     want = np.concatenate([sess.push(xs[0]), sess.flush()])
     np.testing.assert_array_equal(got[0], want)
+    # the headline plan's per-direction precision knobs propagate the
+    # same way (analysis 'high' / synthesis 'default' — see headline.py).
+    # On the CPU backend lax matmul precision strings are no-ops (every
+    # tier is the same native math — here f64 under the x64 conftest), so
+    # value-identity with the run above holds REGARDLESS of whether the
+    # sessions actually read the knobs; the structural propagation is
+    # asserted directly below instead, and the on-TPU numeric effect is
+    # measured/gated by bench --pareto (PARETO_r04 asymmetric rows).
+    enh_hp = SnmfEnhancer(enh.cfg, *enh._bases, dtype=enh.dtype,
+                          matlab_ad_blk_init=False, dft_matmul=True,
+                          dft_precision="high", idft_precision="default")
+    assert (enh_hp.dft_precision, enh_hp.idft_precision) == (
+        "high", "default")   # the attributes the sessions read via getattr
+    fleet_hp = MultiStreamSession(enh_hp, 2, block_frames=8)
+    got_hp = np.concatenate([fleet_hp.push(xs), fleet_hp.flush()], axis=1)
+    sess_hp = StreamingSession(enh_hp, block_frames=8)
+    want_hp = np.concatenate([sess_hp.push(xs[0]), sess_hp.flush()])
+    np.testing.assert_array_equal(got_hp[0], want_hp)
+    np.testing.assert_array_equal(got_hp, got)
 
 
 @pytest.mark.slow
