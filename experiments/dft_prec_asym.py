@@ -55,10 +55,16 @@ combos = [
 
 rows = []
 for fwd, inv in combos:
-    stft_mod.DFT_PRECISION = fwd
-    stft_mod.IDFT_PRECISION = inv
+    # Pass the swept precisions as EXPLICIT kwargs, overriding whatever
+    # HEADLINE_PLAN ships (the plan now carries its own dft_precision/
+    # idft_precision after this experiment's result was promoted — setting
+    # only the stft module globals would be silently overridden by them
+    # and every combo would measure the shipped pair).
+    plan = {k: v for k, v in HEADLINE_PLAN.items()
+            if k not in ("dft_precision", "idft_precision")}
     enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
-                       noise.b_dft, dtype=jnp.float32, **HEADLINE_PLAN)
+                       noise.b_dft, dtype=jnp.float32, **plan,
+                       dft_precision=fwd, idft_precision=inv)
     x_m03 = waves[0][0]
     frames = enh._pad_frames(enh.frames_for(x_m03))
     t_true = enh.frames_for(x_m03).shape[0]

@@ -416,9 +416,17 @@ def cmd_demo(args) -> int:
                     "demo --mode pmwf needs multichannel input: "
                     "comma-separated wavs or '-' with --channels N")
             chans = []
+            rates = []
             for pth in paths:
                 xc, fs = read_wav_int16(pth)
                 chans.append(xc)
+                rates.append(fs)
+            if len(set(rates)) > 1:
+                # mismatched rates would beamform sample-misaligned
+                # channels and write the output at the wrong rate
+                raise SystemExit(
+                    "demo --mode pmwf: channel sample rates differ: "
+                    + ", ".join(f"{p}={r}" for p, r in zip(paths, rates)))
             nmin = min(len(c) for c in chans)
             x_mc = np.stack([c[:nmin] for c in chans])
 

@@ -37,7 +37,13 @@ class EngineState(NamedTuple):
     # dictionary head stay untouched (the reference's supervised frames).
     # Only consulted by plans built with cfg.adapt.adapt_train_n=True —
     # config-off plans keep the statically pruned no-adaptation program.
-    adapt_on: jnp.ndarray = jnp.asarray(True)
+    # Default is a plain Python bool, NOT jnp.asarray(True): a jnp default
+    # evaluates at import time and instantiates the backend client — on
+    # the axon platform that claims the ONE allowed TPU client from any
+    # process that merely imports this module (CLAUDE.md gotcha), killing
+    # a concurrently running bench.  JAX traces a Python bool leaf to the
+    # same bool[] aval, so use sites are unchanged.
+    adapt_on: jnp.ndarray | bool = True
 
 
 def init_engine_state(cfg: PipelineConfig, b_d_sep: np.ndarray,

@@ -94,31 +94,70 @@ def load_engine_state_orbax(path: str | Path,
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(Path(path).absolute(),
-                                 dict(template._asdict()))
+        tpl = dict(template._asdict())
+        try:
+            restored = ckptr.restore(Path(path).absolute(), tpl)
+        except Exception:
+            # fields added after the checkpoint was written (adapt_on, r4)
+            # make the tree-structure template mismatch; restore the
+            # checkpoint's own structure and fall back to template values
+            # for the missing fields — mirrors load_engine_state's
+            # skip-missing npz behavior
+            legacy = {k: v for k, v in tpl.items() if k != "adapt_on"}
+            restored = {**tpl,
+                        **ckptr.restore(Path(path).absolute(), legacy)}
     return EngineState(**restored)
 
 
 # ---------------------------------------------------------------------------
 # Multichannel streaming state (multichannel/streaming.PmwfStreamState) —
 # same atomic-npz treatment as EngineState, so an interrupted multichannel
-# stream resumes bit-identically (complex covariances store natively).
+# stream resumes bit-identically.  The npz stores complex natively, but the
+# DEVICE boundary is crossed as separate real/imag real-typed arrays: the
+# axon tunnel backend cannot transfer complex buffers in either direction
+# (UNIMPLEMENTED — the same constraint that makes pmwf_stream_init build
+# its zeros under jit), so the split/recombine happens in tiny jitted
+# programs and only real arrays ever move host<->device.
 # ---------------------------------------------------------------------------
+
+def _host_copy(a) -> np.ndarray:
+    """np.asarray that works for complex device arrays on backends without
+    complex transfers: fetch real/imag separately, recombine on host."""
+    if isinstance(a, np.ndarray):
+        return a
+    if jnp.issubdtype(jnp.asarray(a).dtype, jnp.complexfloating):
+        import jax
+        re, im = jax.jit(lambda z: (z.real, z.imag))(a)
+        return np.asarray(re) + 1j * np.asarray(im)
+    return np.asarray(a)
+
 
 def save_pmwf_state(path: str | Path, state) -> None:
     path = Path(path)
     tmp = path.with_name(path.stem + ".tmp.npz")
     np.savez_compressed(
-        tmp, **{f: np.asarray(getattr(state, f)) for f in state._fields})
+        tmp, **{f: _host_copy(getattr(state, f)) for f in state._fields})
     os.replace(tmp, path)
 
 
 def load_pmwf_state(path: str | Path, dtype=jnp.float32):
+    import jax
+
     from se_snmf_nat_tpu.multichannel.streaming import PmwfStreamState
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    rdtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
+
+    @jax.jit
+    def combine(re, im):
+        return (re + 1j * im).astype(cdtype)
+
     with np.load(str(path)) as z:
         kw = {}
         for f in PmwfStreamState._fields:
             a = z[f]
-            kw[f] = jnp.asarray(a, cdtype if a.dtype.kind == "c" else None)
+            if a.dtype.kind == "c":
+                kw[f] = combine(jnp.asarray(a.real.copy(), rdtype),
+                                jnp.asarray(a.imag.copy(), rdtype))
+            else:
+                kw[f] = jnp.asarray(a)
         return PmwfStreamState(**kw)

@@ -396,7 +396,7 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
 
     dft_precision / idft_precision override the matmul-transform precision
     per direction (None = dsp/stft module defaults).  The production plan
-    runs analysis at 'highest' and synthesis at 'default': analysis
+    (headline.py) runs analysis at 'high' and synthesis at 'default': analysis
     rounding is amplified through the NMF solver trajectory (measured
     -.0009 golden corr at 'default'), synthesis rounding adds only linear
     noise to an output whose golden residual is ~9% rel (corr unchanged,

@@ -87,6 +87,10 @@ class MultiStreamSession:
         self._l = np.zeros((self.n,), np.int64)
         self._block = max(int(block_frames), 1)
         self._pending: list[np.ndarray] = []   # each (B, framelength)
+        # block-adaptive fleets: mid-block set_adaptation calls wait here
+        # ((lanes, on) ops, applied in order at the next block boundary —
+        # see set_adaptation)
+        self._deferred_adapt_ops: list = []
         if states is None:
             states = jax.tree.map(
                 lambda a: jnp.broadcast_to(a, (self.n,) + a.shape),
@@ -287,6 +291,7 @@ class MultiStreamSession:
                     self._queue_dev, self._acc_dev, self.state,
                     self._shard_in(jnp.asarray(l0, jnp.int32)))
             self._pending = []
+            self._apply_deferred_adapt()
             # host acc is now stale; the device copy is authoritative
             # until a fallback pulls it (_sync_host_acc)
             if self._pipeline:
@@ -354,6 +359,7 @@ class MultiStreamSession:
                 frames_dev, self.state, l0_dev, jnp.asarray(k, jnp.int32))
         outs = np.asarray(outs)                    # (B, K, framelength)
         self._pending = []
+        self._apply_deferred_adapt()
         emitted = []
         for i in range(k):
             self._acc += outs[:, i]
@@ -463,8 +469,22 @@ class MultiStreamSession:
         frame pushed.  ``lanes=None`` toggles the whole fleet.  Pending
         frames were pushed under the previous setting, so they flush under
         it first; returns their per-lane emissions (same contract as
-        push_per_lane)."""
+        push_per_lane).  BLOCK-ADAPTIVE fleets defer a mid-block call to
+        the next block boundary instead (no early flush — same rationale
+        and boundary-equality guarantee as StreamingSession)."""
+        if self._run_block_fast is not None and self._pending:
+            # block-adaptive fleet mid-block: defer to the block boundary
+            # (flushing a partial block early would run those frames
+            # through the exact per-frame plan — a different algorithm —
+            # and shift the fleet's block cadence; same rationale as
+            # StreamingSession.set_adaptation)
+            self._deferred_adapt_ops.append((lanes, bool(on)))
+            return self._assemble([], self.n, quantize)
         emitted = self._flush_pending() if self._pending else []
+        self._apply_adapt(lanes, on)
+        return self._assemble(emitted, self.n, quantize)
+
+    def _apply_adapt(self, lanes, on: bool) -> None:
         ad = np.asarray(self.state.adapt_on)
         if lanes is None:
             ad = np.full_like(ad, bool(on))
@@ -473,7 +493,11 @@ class MultiStreamSession:
             ad[np.asarray(lanes)] = bool(on)
         self.state = self.state._replace(
             adapt_on=self._shard_in(jnp.asarray(ad)))
-        return self._assemble(emitted, self.n, quantize)
+
+    def _apply_deferred_adapt(self) -> None:
+        for lanes, on in self._deferred_adapt_ops:
+            self._apply_adapt(lanes, on)
+        self._deferred_adapt_ops = []
 
     # ----- multi-tenant lane lifecycle (runtime/server.py) -------------
     def _queue_externally_zeroed(self) -> None:

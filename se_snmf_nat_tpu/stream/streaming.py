@@ -44,6 +44,9 @@ class StreamingSession:
         self._l = 0
         self._block = max(int(block_frames), 1)
         self._pending: list[np.ndarray] = []   # queued analysis frames
+        # block sessions: a mid-block set_adaptation waits here until the
+        # pending block completes (see set_adaptation)
+        self._deferred_adapt: bool | None = None
         self.state = state if state is not None else enhancer.initial_state()
 
         win = enhancer.win
@@ -119,14 +122,26 @@ class StreamingSession:
 
     def set_adaptation(self, on: bool, quantize: bool = True) -> np.ndarray:
         """Live noise-adaptation switch — SE_GUI.m:393-435's push-to-talk
-        NAT toggle, effective from the NEXT frame pushed.  Flips the traced
-        ``adapt_on`` scalar carried in EngineState, so no recompilation;
-        while off, frames are treated as supervised: triggers cannot fire
-        and the rings / update counter / dictionary head stay untouched
-        (tests/test_streaming.py gates this).  Frames already queued in the
-        current pending block were pushed under the previous setting, so
-        they flush under it first; any samples that finalizes are returned
-        (same contract as push)."""
+        NAT toggle.  Flips the traced ``adapt_on`` scalar carried in
+        EngineState, so no recompilation; while off, frames are treated as
+        supervised: triggers cannot fire and the rings / update counter /
+        dictionary head stay untouched (tests/test_streaming.py gates
+        this).
+
+        Granularity: exact-scan sessions flush the pending frames under
+        the previous setting (they were pushed under it) and apply the
+        toggle from the next frame.  BLOCK-ADAPTIVE sessions defer a
+        mid-block toggle to the next block boundary instead — flushing a
+        partial block early would route those frames through the exact
+        per-frame plan (a different algorithm than the block plan) and
+        permanently shift the session's block cadence; deferral keeps the
+        stream bit-identical to one toggled exactly at the boundary
+        (tests/test_streaming.py gates that equality).  Any samples
+        finalized by the flush are returned (same contract as push)."""
+        if self._run_block_fast is not None and self._pending:
+            self._deferred_adapt = bool(on)
+            y = np.zeros(0)
+            return enhanced_quantize(y) if quantize else y
         outs = self._flush_pending() if self._pending else []
         self.state = self.state._replace(adapt_on=jnp.asarray(bool(on)))
         y = np.concatenate(outs) if outs else np.zeros(0)
@@ -147,6 +162,7 @@ class StreamingSession:
         self._pending = []
         self.state = state if state is not None else \
             self.enh.initial_state()
+        self._deferred_adapt = None
         if self._run_block_fast is not None:
             from se_snmf_nat_tpu.stream.block_adaptive import ring_ptr0
             self._ba_ptr = ring_ptr0()
@@ -178,6 +194,13 @@ class StreamingSession:
                 jnp.asarray(l0, jnp.int32), jnp.asarray(k, jnp.int32))
         outs = np.asarray(outs)
         self._pending = []
+        if self._deferred_adapt is not None:
+            # block-boundary application of a mid-block set_adaptation
+            # (see its docstring) — the flushed frames above ran under
+            # the previous setting, as pushed
+            self.state = self.state._replace(
+                adapt_on=jnp.asarray(self._deferred_adapt))
+            self._deferred_adapt = None
         emitted = []
         for i in range(k):
             self._acc += outs[i]

@@ -303,6 +303,22 @@ def test_orbax_checkpoint_roundtrip(small_enh, tmp_path):
         np.testing.assert_array_equal(np.asarray(getattr(state, f)),
                                       np.asarray(getattr(loaded, f)),
                                       err_msg=f)
+    # pre-r4 checkpoints lack adapt_on (review finding: the orbax loader
+    # raised on the tree-structure mismatch instead of falling back to
+    # the template default like the npz loader does)
+    import orbax.checkpoint as ocp
+    legacy_tree = {k: v for k, v in state._asdict().items()
+                   if k != "adapt_on"}
+    legacy_path = tmp_path / "orbax_legacy"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(legacy_path.absolute(), legacy_tree, force=True)
+    restored = load_engine_state_orbax(legacy_path,
+                                       small_enh.initial_state())
+    assert bool(np.asarray(restored.adapt_on))     # template default
+    for f in legacy_tree:
+        np.testing.assert_array_equal(np.asarray(getattr(state, f)),
+                                      np.asarray(getattr(restored, f)),
+                                      err_msg=f)
 
 
 def test_shard_files_for_host():
@@ -454,6 +470,22 @@ def test_cli_demo_pmwf_mode(wav_db, tmp_path, capsys):
     assert report["rms_out"] > 0
     y, _ = read_wav_int16(out_wav)
     assert len(y) > 4000
+
+
+def test_cli_demo_pmwf_rejects_mixed_rates(wav_db, tmp_path):
+    """Review finding: per-channel wavs at different sample rates were
+    silently beamformed sample-misaligned and written at the last file's
+    rate; the CLI must refuse instead."""
+    from se_snmf_nat_tpu.io.wavio import read_wav_int16, write_wav_int16
+    src = sorted(wav_db.iterdir())[0]
+    x, fs = read_wav_int16(src)
+    p0 = tmp_path / "c0.wav"
+    p1 = tmp_path / "c1.wav"
+    write_wav_int16(p0, x[:8000].astype(np.int16), fs)
+    write_wav_int16(p1, x[:8000].astype(np.int16), fs // 2)
+    with pytest.raises(SystemExit, match="sample rates differ"):
+        cli_main(["demo", f"{p0},{p1}", "--mode", "pmwf", "--block", "8",
+                  "-o", str(tmp_path / "out.wav")])
 
 
 def test_cli_demo_toggle_every(wav_db, tmp_path, capsys):

@@ -210,3 +210,39 @@ def test_adaptation_toggle_block_plan(enh, m03_wav):
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(np.asarray(st_g.b_d_head),
                                   np.asarray(st_off.b_d_head))
+
+
+@pytest.mark.slow
+def test_adaptation_toggle_mid_block_defers_to_boundary(enh, m03_wav):
+    """Review finding (r4): a mid-block set_adaptation on a BLOCK-ADAPTIVE
+    session used to flush the partial block through the exact per-frame
+    scan — a different algorithm for those frames — and permanently shift
+    the session's block cadence.  The fix defers the toggle to the next
+    block boundary, so a mid-block call must be bit-identical to calling
+    at the boundary."""
+    x = m03_wav[0][:16000]
+    s = enh.cfg.signal
+    B = 8
+    cut = s.frameshift * (2 * B + 3)    # 3 hops INTO the third block
+
+    sess_mid = StreamingSession(enh, block_frames=B,
+                                use_block_adaptive=True)
+    out_a = [sess_mid.push(x[:cut])]
+    out_a.append(sess_mid.set_adaptation(False))
+    out_a.append(sess_mid.push(x[cut:]))
+    out_a.append(sess_mid.flush())
+
+    bcut = s.frameshift * (3 * B)       # exactly the third block's end
+    sess_bnd = StreamingSession(enh, block_frames=B,
+                                use_block_adaptive=True)
+    out_b = [sess_bnd.push(x[:bcut])]
+    out_b.append(sess_bnd.set_adaptation(False))
+    out_b.append(sess_bnd.push(x[bcut:]))
+    out_b.append(sess_bnd.flush())
+
+    np.testing.assert_array_equal(np.concatenate(out_a),
+                                  np.concatenate(out_b))
+    for f in sess_mid.state._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(sess_mid.state, f)),
+                                      np.asarray(getattr(sess_bnd.state, f)),
+                                      err_msg=f)
