@@ -1351,7 +1351,8 @@ def cmd_bench(args) -> int:
             # finite gate: rolled copies of one channel are perfectly
             # coherent — the adversarial covariance conditioning case
             # (see pmwf.pmwf_filters loading note); before the r4
-            # HIGHEST-precision cov einsum + eps-relative loading this
+            # HIGH-precision (bf16x3, measured f32-equivalent PSD-ness)
+            # cov einsum + eps-relative loading this
             # bench timed NaN outputs without noticing
             "output_finite": bool(np.isfinite(np.asarray(y)).all()),
             "note": "offline block-mean plan, one 6-ch utterance per call "

@@ -240,9 +240,13 @@ def analysis_frames(frames: jnp.ndarray, win: jnp.ndarray, fftlength: int,
         re, im = reim[..., :f], reim[..., f:]
         r2 = re * re + im * im
         mag = r2 ** (pow_ / 2.0)
-        rs = jnp.where(r2 > 0.0, lax.rsqrt(jnp.maximum(r2, 1e-38)), 0.0)
-        # r == 0: arctan2(0, 0) = 0 -> cos 1, sin 0 (keep that convention)
-        cosp = jnp.where(r2 > 0.0, re * rs, 1.0)
+        # dtype-aware floor: bins with 0 < r2 < tiny would otherwise get a
+        # clamped rsqrt and a phasor of norm << 1 (silent attenuation);
+        # below the floor they take the r==0 convention instead —
+        # arctan2(0, 0) = 0 -> cos 1, sin 0
+        tiny = jnp.asarray(jnp.finfo(r2.dtype).tiny, r2.dtype)
+        rs = jnp.where(r2 >= tiny, lax.rsqrt(jnp.maximum(r2, tiny)), 0.0)
+        cosp = jnp.where(r2 >= tiny, re * rs, 1.0)
         sinp = im * rs
         phase = jnp.concatenate([cosp, sinp], axis=-1)
     else:

@@ -258,6 +258,74 @@ def snmf_solve(v: jnp.ndarray, w0: jnp.ndarray, h0: jnp.ndarray,
     return SnmfResult(w=w, h=h, iters=it, div=div, cost=cost)
 
 
+@partial(jax.jit, static_argnames=("params", "update_w", "update_h"))
+def snmf_solve_traced(v: jnp.ndarray, w0: jnp.ndarray, h0: jnp.ndarray,
+                      w_mask: jnp.ndarray, h_mask: jnp.ndarray,
+                      params: SnmfParams, update_w: bool = True,
+                      update_h: bool = True
+                      ) -> tuple[SnmfResult, dict]:
+    """``snmf_solve`` with the reference's per-iteration objective trace
+    (sparse_nmf.m:260-270 ``objective.div/cost``) — an opt-in diagnostic
+    surface, NOT a production path (the cost pass it records each trip is
+    the exact overhead the fixed-iteration plans skip).
+
+    Returns ``(result, {"div": (max_iter,), "cost": (max_iter,)})`` where
+    entries past ``result.iters`` are zero — truncate host-side with
+    ``objective["div"][:int(result.iters)]``.  Runs the SAME update
+    sequence as ``snmf_solve`` (a ``lax.scan`` whose lanes freeze after
+    the relative-cost stop fires instead of a while_loop), so the final
+    factors are identical; gated vs the oracle histories in
+    tests/test_nmf.py.
+    """
+    prec = params.lax_precision
+    flr = jnp.asarray(params.flr, v.dtype)
+    sparsity = jnp.asarray(params.sparsity, v.dtype)
+    beta = params.beta
+
+    v = jnp.maximum(v, flr)
+    w, wn = normalize_columns(w0)
+    h = h0 * wn[:, None]
+    lamb = jnp.maximum(_dot(w, h, prec), flr)
+
+    def body(carry, _):
+        it, w, h, lamb, last_cost, done = carry
+        run = jnp.logical_not(done)
+        w2, h2, lamb2 = w, h, lamb
+        if update_h:
+            h2 = _h_step(v, w2, h2, lamb2, sparsity, beta, flr, h_mask,
+                         prec)
+            lamb2 = jnp.maximum(_dot(w2, h2, prec), flr)
+        if update_w:
+            w2 = _w_step(v, w2, h2, lamb2, beta, flr, w_mask, prec)
+            lamb2 = jnp.maximum(_dot(w2, h2, prec), flr)
+        div = _divergence(v, lamb2, beta)
+        cost = div + jnp.sum(sparsity * h2)
+        rel = jnp.abs(cost - last_cost) / jnp.abs(last_cost)
+        if params.conv_eps > 0:
+            newly_done = jnp.logical_and(it > 0, rel < params.conv_eps)
+        else:
+            newly_done = jnp.asarray(False)
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(run, x, y), a, b)
+        w, h, lamb = sel((w2, h2, lamb2), (w, h, lamb))
+        zero = jnp.zeros((), v.dtype)
+        rec = (jnp.where(run, div, zero), jnp.where(run, cost, zero))
+        carry = (it + run.astype(jnp.int32), w, h, lamb,
+                 jnp.where(run, cost, last_cost),
+                 jnp.logical_or(done, jnp.logical_and(run, newly_done)))
+        return carry, rec
+
+    init = (jnp.asarray(0, jnp.int32), w, h, lamb,
+            jnp.asarray(jnp.inf, v.dtype), jnp.asarray(False))
+    (it, w, h, lamb, cost, _), (divs, costs) = lax.scan(
+        body, init, None, length=params.max_iter)
+    div = _divergence(v, lamb, beta)
+    res = SnmfResult(w=w, h=h, iters=it, div=div,
+                     cost=div + jnp.sum(sparsity * h)
+                     if params.conv_eps <= 0 else cost)
+    return res, {"div": divs, "cost": costs}
+
+
 @partial(jax.jit, static_argnames=("params",))
 def snmf_h_solve_columns_split(v: jnp.ndarray, w_shared: jnp.ndarray,
                                w_head: jnp.ndarray, h0_shared: jnp.ndarray,

@@ -26,11 +26,17 @@ def sparse_nmf_np(
     cost_check: bool = True,
     init_w: np.ndarray | None = None,
     r: int | None = None,
-    init_h: np.ndarray | None = None,
+    init_h: np.ndarray | str | None = None,
     w_update_ind: np.ndarray | None = None,
     h_update_ind: np.ndarray | None = None,
+    display: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, dict]:
-    """Returns (w, h, objective{div, cost} arrays truncated at early stop)."""
+    """Returns (w, h, objective{div, cost} arrays truncated at early stop).
+
+    ``init_h='ones'`` initializes H with ones (sparse_nmf.m:135-138);
+    ``display=True`` prints the reference's per-iteration objective line
+    (sparse_nmf.m:266-270 — one line per iteration instead of the MATLAB
+    backspace-overwrite dance)."""
     v = np.asarray(v, dtype=np.float64)
     m, n = v.shape
 
@@ -52,6 +58,10 @@ def sparse_nmf_np(
 
     if init_h is None:
         h = rng.rand(r, n)                          # :134
+    elif isinstance(init_h, str):
+        if init_h != "ones":
+            raise ValueError(f"unknown init_h string: {init_h!r}")
+        h = np.ones((r, n))                         # :135-138
     else:
         h = np.array(init_h, dtype=np.float64, copy=True)
 
@@ -134,6 +144,8 @@ def sparse_nmf_np(
             cost = div + np.sum(sp * h)
             div_hist.append(div)
             cost_hist.append(cost)
+            if display:                             # :266-270
+                print(f"iteration {it} div = {div:.3e} cost = {cost:.3e}")
             if it > 1 and conv_eps > 0:
                 if abs(cost - last_cost) / last_cost < conv_eps:
                     break

@@ -93,19 +93,19 @@ def load_engine_state_orbax(path: str | Path,
                             template: EngineState) -> EngineState:
     import orbax.checkpoint as ocp
 
+    p = Path(path).absolute()
+    tpl = dict(template._asdict())
+    # The checkpoint's OWN item names decide the restore template: fields
+    # added to EngineState after a checkpoint was written (adapt_on, r4)
+    # restore from the template instead (mirrors load_engine_state's
+    # skip-missing npz behavior) without per-field hardcoding, and a
+    # genuinely corrupt checkpoint surfaces its real restore error rather
+    # than a masked template-mismatch retry.
+    with ocp.PyTreeCheckpointer() as meta_reader:
+        stored = set(meta_reader.metadata(p).item_metadata.tree.keys())
+    legacy = {k: v for k, v in tpl.items() if k in stored}
     with ocp.StandardCheckpointer() as ckptr:
-        tpl = dict(template._asdict())
-        try:
-            restored = ckptr.restore(Path(path).absolute(), tpl)
-        except Exception:
-            # fields added after the checkpoint was written (adapt_on, r4)
-            # make the tree-structure template mismatch; restore the
-            # checkpoint's own structure and fall back to template values
-            # for the missing fields — mirrors load_engine_state's
-            # skip-missing npz behavior
-            legacy = {k: v for k, v in tpl.items() if k != "adapt_on"}
-            restored = {**tpl,
-                        **ckptr.restore(Path(path).absolute(), legacy)}
+        restored = {**tpl, **ckptr.restore(p, legacy)}
     return EngineState(**restored)
 
 

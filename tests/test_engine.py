@@ -511,3 +511,18 @@ def test_block_adaptive_gap1_and_small_ring(reference_bases, short_clip):
 def _bases4(reference_bases):
     speech, noise = reference_bases
     return (speech.b_dft, noise.b_dft, speech.b_dft, noise.b_dft)
+
+
+def test_splice_branch_guard_fires(reference_bases):
+    """The retired reference splice/multi-frame branches
+    (bnmf_sep_event_RT_IS16.m:85-100) are unreachable in every shipped
+    configuration (all 9 settings files pin Splice=0, blk_len_sep=1 — see
+    PARITY.md proof); setting either field must hit the contract guard,
+    not silently run the single-frame path."""
+    from dataclasses import replace
+
+    cfg = default_config()
+    for sep_kw in ({"splice": 1}, {"blk_len_sep": 2}):
+        bad = cfg.evolve(sep=replace(cfg.sep, **sep_kw))
+        with pytest.raises(NotImplementedError):
+            _enhancer(bad, reference_bases, jnp.float64)

@@ -176,3 +176,58 @@ def test_split_solver_bitexact_vs_single_phase(split, frac):
                               jnp.asarray(h0), ps)
     assert bool(jnp.all(r0.h == r1.h))
     assert int(r0.iters) == int(r1.iters)
+
+
+def test_init_h_ones_matches_reference_surface():
+    """sparse_nmf.m:135-138: p.init_h='ones' seeds H with ones.  The oracle
+    accepts the string; the JAX solver takes the equivalent explicit h0 and
+    must match it bit-for-bit at x64."""
+    v, w0, _ = _data(seed=6)
+    r = w0.shape[1]
+    wn, hn, _ = sparse_nmf_np(v, cf="kl", sparsity=2.0, max_iter=25,
+                              conv_eps=0.0, init_w=w0, init_h="ones")
+    params = SnmfParams(beta=1.0, sparsity=2.0, max_iter=25, conv_eps=0.0)
+    res = snmf_solve(jnp.asarray(v), jnp.asarray(w0),
+                     jnp.ones((r, v.shape[1])),
+                     jnp.ones(r, bool), jnp.ones(r, bool), params)
+    np.testing.assert_allclose(np.asarray(res.w), wn, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(res.h), hn, rtol=1e-8, atol=1e-10)
+    with pytest.raises(ValueError):
+        sparse_nmf_np(v, init_w=w0, init_h="zeros")
+
+
+@pytest.mark.parametrize("conv_eps", [0.0, 1e-3])
+def test_objective_trace_matches_oracle(conv_eps):
+    """snmf_solve_traced reproduces the reference's objective.div/cost
+    arrays (sparse_nmf.m:260-270) and snmf_solve's final factors."""
+    from se_snmf_nat_tpu.nmf.solver import snmf_solve_traced
+
+    v, w0, h0 = _data(seed=7)
+    r = w0.shape[1]
+    _, hn, obj = sparse_nmf_np(v, cf="kl", sparsity=3.0, max_iter=40,
+                               conv_eps=conv_eps, init_w=w0, init_h=h0)
+    params = SnmfParams(beta=1.0, sparsity=3.0, max_iter=40,
+                        conv_eps=conv_eps)
+    args = (jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0),
+            jnp.ones(r, bool), jnp.ones(r, bool), params)
+    res_t, trace = snmf_solve_traced(*args)
+    res = snmf_solve(*args)
+    it = int(res_t.iters)
+    assert it == int(res.iters) == len(obj["cost"])
+    np.testing.assert_allclose(np.asarray(res_t.h), np.asarray(res.h),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(res_t.h), hn,
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(trace["div"])[:it], obj["div"],
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(trace["cost"])[:it], obj["cost"],
+                               rtol=1e-8, atol=1e-10)
+    assert not np.any(np.asarray(trace["cost"])[it:])
+
+
+def test_oracle_display_prints_objective(capsys):
+    v, w0, h0 = _data(seed=8)
+    sparse_nmf_np(v, cf="kl", sparsity=1.0, max_iter=3, conv_eps=0.0,
+                  init_w=w0, init_h=h0, display=True)
+    out = capsys.readouterr().out
+    assert out.count("iteration") == 3 and "div =" in out
