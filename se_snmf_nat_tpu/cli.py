@@ -1289,7 +1289,8 @@ def cmd_bench(args) -> int:
         from se_snmf_nat_tpu.io.basis import load_reference_speech_noise
         from se_snmf_nat_tpu.runtime.profiling import (
             measure_serving_capacity, measure_serving_device_ceiling,
-            measure_serving_device_ceiling_sharded)
+            measure_serving_device_ceiling_sharded,
+            measure_serving_product_path)
         from se_snmf_nat_tpu.stream.pipeline import SnmfEnhancer
         cfg = default_config()
         speech, noise = load_reference_speech_noise(cfg.sep.r_d)
@@ -1304,6 +1305,10 @@ def cmd_bench(args) -> int:
         # sequence — measure the sharded ceiling the same device-only way
         rep["device_ceiling_sharded"] = (
             measure_serving_device_ceiling_sharded(enh))
+        # r5: the sharded fleet is a product mode (cli serve --sub-fleets,
+        # stream/serving.ShardedFleet) — measure capacity through its
+        # SHIPPED push path too (dispatch + wire included)
+        rep["product_path_sharded"] = measure_serving_product_path(enh)
         print(json.dumps(rep))
         return 0
     if args.scaling:
@@ -1527,7 +1532,8 @@ def cmd_serve(args) -> int:
                         block_frames=args.block_frames,
                         use_block_adaptive=args.block_adaptive,
                         host=args.host, port=args.port,
-                        underrun_pad=args.underrun_pad)
+                        underrun_pad=args.underrun_pad,
+                        sub_fleets=args.sub_fleets)
 
     async def run():
         await srv.start()
@@ -1628,6 +1634,11 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--port", type=int, default=0,
                     help="0 = OS-assigned (printed on startup)")
     sv.add_argument("--lanes", type=int, default=8)
+    sv.add_argument("--sub-fleets", type=int, default=1,
+                    help="shard the fleet into N sub-fleet programs "
+                         "ticked back-to-back (lanes must divide evenly; "
+                         "needed past the ~192-lane single-program "
+                         "residency cliff — stream/serving.ShardedFleet)")
     sv.add_argument("--block-frames", type=int, default=8,
                     help="device-call tick size (8 amortizes dispatch to "
                          "~5 ms/hop through a network tunnel)")

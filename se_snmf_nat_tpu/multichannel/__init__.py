@@ -9,15 +9,19 @@ from se_snmf_nat_tpu.multichannel.pmwf import (
     PmwfParams, PmwfEnhancer, spectro_temporal_cov, pmwf_filters)
 from se_snmf_nat_tpu.multichannel.streaming import (
     NtfOnlineState, NtfStreamingSession, PmwfStreamState,
-    PmwfStreamingSession, make_pmwf_batch_run, make_pmwf_stream_step,
-    make_pmwf_streaming_run, pmwf_stream_init, pmwf_streaming_enhance,
+    PmwfStreamingSession, make_pmwf_batch_run, make_pmwf_batch_run_fast,
+    make_pmwf_stream_step, make_pmwf_streaming_run,
+    make_pmwf_streaming_run_fast, pmwf_stream_init,
+    pmwf_streaming_enhance,
     window_cov)
 
 __all__ = [
     "khatri_rao", "ntf_solve", "NtfResult", "ten2mat",
     "PmwfParams", "PmwfEnhancer", "spectro_temporal_cov", "pmwf_filters",
     "NtfOnlineState", "NtfStreamingSession", "PmwfStreamState",
-    "PmwfStreamingSession", "make_pmwf_batch_run", "make_pmwf_stream_step",
-    "make_pmwf_streaming_run", "pmwf_stream_init", "pmwf_streaming_enhance",
+    "PmwfStreamingSession", "make_pmwf_batch_run",
+    "make_pmwf_batch_run_fast", "make_pmwf_stream_step",
+    "make_pmwf_streaming_run", "make_pmwf_streaming_run_fast",
+    "pmwf_stream_init", "pmwf_streaming_enhance",
     "window_cov",
 ]

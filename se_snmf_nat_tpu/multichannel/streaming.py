@@ -181,6 +181,124 @@ def make_pmwf_batch_run(cfg: PipelineConfig, params: PmwfParams,
     return jax.jit(jax.vmap(run, in_axes=(0, 0)))
 
 
+def make_pmwf_streaming_run_fast(cfg: PipelineConfig, params: PmwfParams,
+                                 dtype=jnp.float32):
+    """Whole-utterance BATCHED plan of the streaming semantics (r5).
+
+    Budget analysis of the scan plan (BASELINE.md r5 multichannel budget):
+    ~97% of its wall time is scan serialization, not math — the per-frame
+    step does ~6 MFLOP of covariance/solve/apply work but pays a
+    sequential step latency three orders above that work's VPU time, and
+    adding lanes only deepens the per-step working set (the measured
+    65.8 -> 53.4 au-s/s INVERSE lane scaling of MULTICHANNEL_r04).
+
+    The only frame-to-frame dependence in the semantics is the running
+    Ycov sum with its periodic in-place normalize
+    (PMWF_sep_event_RT_CHiME.m:137-140) — the window covariance (25-term
+    neighborhood einsum), the per-bin HPD filter solves, the filter apply
+    and the iSTFT have none.  So this plan:
+
+      1. computes ALL frame-window covariances R_t in one vmapped
+         ``window_cov`` (same function, batched over T);
+      2. runs the Ycov recurrence as a scan over just ``ycov += R_t``
+         plus the norm_period divide — an (F, C, C) add per step, the
+         irreducible sequential core;
+      3. freezes Ncov by INDEXING the Ycov trajectory at init_n_len
+         (NTF_sep_event_RT.m:91-96) instead of carrying it;
+      4. batches the per-bin solves/filters over all T frames at once
+         (``pmwf_filters`` vmapped — 1.4M independent unrolled Cholesky
+         solves per 8-lane utterance, pure fused elementwise ops);
+      5. applies filters and synthesizes batched.
+
+    Semantics identical to ``make_pmwf_streaming_run`` (same component
+    functions, adds in the same order); outputs are gated equal after the
+    int16 write at x64 and f32 in tests/test_multichannel_streaming.py.
+    The scan plan stays the default/parity path; sessions use it.
+    """
+    s = cfg.signal
+    p = params
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    win = jnp.asarray(sqrt_hann_periodic(s.framelength), dtype)
+    ml = 2 * p.l_nbr + 1
+
+    @jax.jit
+    def run(frames, state0):
+        y = _analysis_one(frames.astype(dtype), win, s, cdtype)  # (C,T,F)
+        t = y.shape[1]
+        # sliding windows continuing from the carried y_win: window t
+        # holds frames [t-2L .. t] (state tail before the first input)
+        tail = jnp.moveaxis(state0.y_win, 2, 1)[:, 1:, :]  # (C, ml-1, F)
+        ypad = jnp.concatenate([tail, y], axis=1)          # (C, T+ml-1, F)
+        # R_t decomposes over the window's frames: window_cov sums outer
+        # products over the (2M+1) x (2L+1) neighborhood, so with
+        # G_tau = sum_m outer(z^m_tau) (the per-frame frequency-collapsed
+        # covariance), R_t = sum_{tau in window t} G_tau.  Computing G
+        # once per frame and box-summing is 2L+1 times fewer multiplies
+        # than per-window einsums AND avoids materializing the
+        # (T, 2M+1, C, F, 2L+1) stack a vmapped window_cov would build
+        # (29 GB at 8 lanes — the r5 budget run's OOM).  Regrouping the
+        # 25-term sum into 5x5 changes only summation ORDER; the x64 gate
+        # vs the scan plan is post-int16-write (tests).
+        f = ypad.shape[2]
+        interior = (jnp.arange(f) >= p.m_nbr) & (jnp.arange(f)
+                                                 < f - p.m_nbr)
+        shifts = []
+        for dm in range(-p.m_nbr, p.m_nbr + 1):
+            rolled = jnp.roll(ypad, -dm, axis=2)
+            shifts.append(jnp.where(interior[None, None, :], rolled, ypad))
+        z = jnp.stack(shifts, axis=0)              # (2M+1, C, T', F)
+        g = jnp.einsum("mctf,mdtf->tfcd", z, jnp.conj(z),
+                       precision=jax.lax.Precision.HIGH)   # (T', F, C, C)
+        r_all = g[:t]
+        for i in range(1, ml):
+            r_all = r_all + g[i: i + t]            # (T, F, C, C)
+
+        ls = state0.l + 1 + jnp.arange(t, dtype=jnp.int32)
+        divs = (ls % p.norm_period) == 0
+
+        def acc(ycov, inp):
+            r_t, div = inp
+            ycov = ycov + r_t
+            ycov = jnp.where(div, ycov / (p.norm_period - 1), ycov)
+            return ycov, ycov
+
+        ycov_last, ycovs = jax.lax.scan(acc, state0.ycov, (r_all, divs))
+        # frozen Ncov: the Ycov value at l == init_n_len — inside this
+        # call if the stream crosses the boundary here, else the carried
+        # state (already-frozen streams)
+        idx = p.init_n_len - state0.l - 1
+        frozen = jnp.where(
+            idx >= 0,
+            jax.lax.dynamic_index_in_dim(
+                ycovs, jnp.clip(idx, 0, t - 1), axis=0, keepdims=False),
+            state0.ncov)
+        in_init = (ls <= p.init_n_len)[:, None, None, None]
+        ncovs = jnp.where(in_init, ycovs, frozen[None])
+        ecovs = ycovs - ncovs
+        h = jax.vmap(
+            lambda n, e: pmwf_filters(n, e, p.beta, p.diag_load))(
+            ncovs, ecovs)                                  # (T, F, J, C)
+        centers = ypad[:, p.l_nbr: p.l_nbr + t, :]         # (C, T, F)
+        d_seq = jnp.einsum("tfjc,ctf->tjf", jnp.conj(h), centers)
+        state = PmwfStreamState(
+            y_win=jnp.moveaxis(ypad[:, t - 1: t - 1 + ml, :], 1, 2),
+            ycov=ycov_last,
+            ncov=jnp.where(state0.l + t <= p.init_n_len, ycov_last,
+                           frozen),
+            l=state0.l + t)
+        return _synthesis_one(d_seq, win, s, dtype), state
+
+    return run
+
+
+def make_pmwf_batch_run_fast(cfg: PipelineConfig, params: PmwfParams,
+                             dtype=jnp.float32):
+    """vmap of the batched streaming-semantics plan over a lane axis —
+    the deployment shape of the MULTICHANNEL bench rows."""
+    run = make_pmwf_streaming_run_fast(cfg, params, dtype)
+    return jax.jit(jax.vmap(run, in_axes=(0, 0)))
+
+
 class PmwfStreamingSession:
     """Push-based real-time multichannel PMWF enhancement.
 

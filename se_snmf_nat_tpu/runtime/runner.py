@@ -64,8 +64,62 @@ class BatchRunner:
     def _out_path(self, f: Path, out_dir: Path) -> Path:
         return out_dir / f"{f.stem}{self.out_suffix}.wav"
 
+    def run_multichannel(self, db_in: str | Path, db_out: str | Path,
+                         ch: int, filegap: int | None = None) -> RunReport:
+        """The reference's multichannel campaign shape (run_IMCRA.m:7-30):
+        the sorted file list is walked with stride ``filegap`` and each
+        group of ``ch`` consecutive files forms ONE multichannel session
+        (CHiME per-mic files).  The enhancer must accept (C, n) samples —
+        e.g. multichannel.PmwfEnhancer or pmwf_streaming_enhance via a
+        thin callable.  Skip-if-exists probes the LAST channel's output
+        (the reference's ``fopen(path_denoise(p.ch,:))``); enhancers that
+        emit one reference channel (``ref_ch``) write only that file."""
+        db_in, db_out = Path(db_in), Path(db_out)
+        db_out.mkdir(parents=True, exist_ok=True)
+        filegap = ch if filegap is None else int(filegap)
+        if ch < 1 or filegap < 1:
+            raise ValueError("ch and filegap must be >= 1")
+        files = sorted(p for p in db_in.iterdir()
+                       if p.suffix.lower() == ".wav")
+        report = RunReport()
+        t0 = time.perf_counter()
+        for j in range(0, len(files) - ch + 1, filegap):
+            group = files[j: j + ch]
+            if (self._out_path(group[-1], db_out).exists()
+                    and not self.force_rewrite):
+                report.skipped.extend(f.name for f in group)
+                continue
+            chans, rates = [], []
+            with report.timer.stage("io_read"):
+                for f in group:
+                    x, fs = read_wav_int16(f)
+                    chans.append(x)
+                    rates.append(fs)
+            n = min(len(c) for c in chans)
+            import numpy as _np
+            stacked = _np.stack([c[:n] for c in chans])
+            report.seconds_audio += n / rates[0]
+            report.timer.add_audio(n / rates[0])
+            with report.timer.stage("enhance"):
+                y = _np.atleast_2d(self.enhancer.enhance(stacked))
+            with report.timer.stage("io_write"):
+                if y.shape[0] == ch:               # per-channel outputs
+                    for f, row, fs in zip(group, y, rates):
+                        write_wav_int16(self._out_path(f, db_out), row, fs)
+                else:                              # single reference channel
+                    write_wav_int16(self._out_path(group[-1], db_out),
+                                    y[0], rates[-1])
+            report.processed.extend(f.name for f in group)
+            if self.verbose:
+                print(f"[mc x{ch}] {group[-1].name}")
+        report.seconds_wall = time.perf_counter() - t0
+        return report
+
     def run(self, db_in: str | Path, db_out: str | Path,
-            batch_size: int = 1) -> RunReport:
+            batch_size: int = 1, ch: int = 1,
+            filegap: int | None = None) -> RunReport:
+        if ch > 1:
+            return self.run_multichannel(db_in, db_out, ch, filegap)
         db_in, db_out = Path(db_in), Path(db_out)
         db_out.mkdir(parents=True, exist_ok=True)
         files = sorted(p for p in db_in.iterdir()

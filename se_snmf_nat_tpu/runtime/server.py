@@ -78,17 +78,27 @@ class EnhanceServer:
                  use_block_adaptive: bool = False,
                  host: str = "127.0.0.1", port: int = 0,
                  underrun_pad: bool = False, tick_deadline_s: float = 0.01,
-                 max_write_buffer: int = 1 << 20, wire: str | None = None):
-        from se_snmf_nat_tpu.stream.serving import MultiStreamSession
+                 max_write_buffer: int = 1 << 20, wire: str | None = None,
+                 sub_fleets: int = 1):
+        from se_snmf_nat_tpu.stream.serving import (MultiStreamSession,
+                                                    ShardedFleet)
         # transfer-optimal samples wire by default (SERVING_r03: 2x the
         # fleet of the frames wire; per-lane lifecycle — reset, drain,
         # flush — falls back transparently); the block-adaptive serving
         # mode still requires the frames wire
         if wire is None:
             wire = "frames" if use_block_adaptive else "samples"
-        self.session = MultiStreamSession(
-            enhancer, n_lanes, block_frames=block_frames,
-            use_block_adaptive=use_block_adaptive, wire=wire)
+        if sub_fleets > 1:
+            # >192-lane fleets need the sharded form (residency cliff —
+            # stream/serving.ShardedFleet); same tick surface, so the
+            # whole server is sharding-agnostic
+            self.session = ShardedFleet(
+                enhancer, n_lanes, sub_fleets, block_frames=block_frames,
+                use_block_adaptive=use_block_adaptive, wire=wire)
+        else:
+            self.session = MultiStreamSession(
+                enhancer, n_lanes, block_frames=block_frames,
+                use_block_adaptive=use_block_adaptive, wire=wire)
         self.hop = enhancer.cfg.signal.frameshift
         self.n = n_lanes
         self.host, self.port = host, port
@@ -117,12 +127,18 @@ class EnhanceServer:
                 await self._tick_task
             except asyncio.CancelledError:
                 pass
+        # abort live lane transports BEFORE wait_closed: py3.12+
+        # Server.wait_closed() awaits every client transport, so closing
+        # them afterwards would deadlock shutdown with clients connected
+        for lane in self.lanes:
+            if lane.writer is not None:
+                try:
+                    lane.writer.transport.abort()
+                except Exception:
+                    pass
         if self._server:
             self._server.close()
             await self._server.wait_closed()
-        for lane in self.lanes:
-            if lane.writer is not None:
-                lane.writer.close()
 
     async def serve_forever(self):
         if self._server is None:      # idempotent after start()
@@ -214,6 +230,17 @@ class EnhanceServer:
         for i in done:
             ln = self.lanes[i]
             ln.gen += 1               # detach any stale reader coroutine
+            if ln.writer is not None:
+                # guarantee the transport is CLOSED before the reference
+                # is dropped: a client that died mid-write can leave the
+                # drain-completion write_eof/close pair half-done, and a
+                # leaked open transport makes Server.wait_closed() (which
+                # py3.12+ awaits all client transports) hang stop()
+                # forever.  abort() is a no-op on closed transports.
+                try:
+                    ln.writer.transport.abort()
+                except Exception:
+                    pass
             ln.state = "free"
             ln.reader = ln.writer = None
             ln.dead = False
@@ -289,8 +316,11 @@ class EnhanceServer:
                 if not lane.dead:
                     try:
                         lane.writer.write_eof()
-                        lane.writer.close()
                     except (OSError, RuntimeError):
+                        pass
+                    try:
+                        lane.writer.close()   # separate: eof failing must
+                    except (OSError, RuntimeError):   # not skip the close
                         pass
                 lane.state = "done"
 

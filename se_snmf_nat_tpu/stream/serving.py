@@ -558,3 +558,133 @@ class MultiStreamSession:
         self._queue[lanes] = 0.0
         self._acc[lanes] = 0.0
         self._l[lanes] = 0
+
+
+class ShardedFleet:
+    """N independent MultiStreamSession sub-fleets serving one big fleet —
+    the PRODUCT form of the sharded serving ceiling (SERVING_r04
+    ``device_ceiling_sharded``).
+
+    Why sharding: one fused tick program hits a residency cliff between
+    192 and 224 lanes on a v5e (per-lane device tick 0.30 -> 0.74 ms —
+    ``runtime/profiling.measure_serving_device_ceiling``), so a single
+    MultiStreamSession cannot serve more than 192 streams in the 80 ms
+    block deadline.  The cliff is a working-set property of the one fused
+    program, not of the chip: N sub-fleet programs at a good lane count
+    (e.g. 4 x 80) each keep the fast tiling and together clear the
+    deadline (measured 4x80 = 320 streams, 77.4/80 ms).  This class ships
+    that deployment shape: global lanes [i*b, (i+1)*b) live in shard i,
+    every shard shares ONE compiled tick executable (identical shapes),
+    and a fleet tick dispatches all shards back-to-back.
+
+    With ``pipeline_ticks=True`` (samples wire) each shard returns tick
+    n-1 while its tick n is in flight, so the PCM fetch of one shard
+    overlaps the device compute of the others — the dispatch pattern the
+    ceiling measurement validated, now on the product path (+1 block of
+    latency, ``drain()`` settles).
+
+    Per-lane outputs are bit-identical to one MultiStreamSession over the
+    same lanes (and hence to solo StreamingSessions): lanes never interact
+    and each shard runs the same program on its slice (CI-gated in
+    tests/test_serving.py).  The full MultiStreamSession lane-lifecycle
+    surface (reset_lanes / zero_queue_rows / set_adaptation / per-lane
+    push) routes by global lane index, so runtime/server.EnhanceServer
+    drops in a ShardedFleet unchanged (``cli serve --sub-fleets N``).
+
+    Reference analog: the serving layer is SE_GUI.m:372-516's one-stream
+    loop scaled out; the reference has no multi-stream story at all.
+    """
+
+    def __init__(self, enhancer, n_streams: int, sub_fleets: int,
+                 block_frames: int = 1, use_block_adaptive: bool = False,
+                 mesh=None, wire: str = "frames",
+                 pipeline_ticks: bool = False):
+        self.n = int(n_streams)
+        self.n_shards = int(sub_fleets)
+        if self.n_shards < 1 or self.n % self.n_shards:
+            raise ValueError(
+                f"n_streams={self.n} must split evenly over "
+                f"sub_fleets={self.n_shards}")
+        self.lanes_per_shard = self.n // self.n_shards
+        self.enh = enhancer
+        self.shards = [
+            MultiStreamSession(enhancer, self.lanes_per_shard,
+                               block_frames=block_frames,
+                               use_block_adaptive=use_block_adaptive,
+                               mesh=mesh, wire=wire,
+                               pipeline_ticks=pipeline_ticks)
+            for _ in range(self.n_shards)]
+        self._block = self.shards[0]._block
+
+    # -- lockstep bookkeeping the server reads (shards tick together, so
+    #    shard 0 is representative) --------------------------------------
+    @property
+    def _pending(self):
+        return self.shards[0]._pending
+
+    @property
+    def _l(self):
+        return np.concatenate([sh._l for sh in self.shards])
+
+    def _split(self, a: np.ndarray) -> list[np.ndarray]:
+        b = self.lanes_per_shard
+        return [a[i * b:(i + 1) * b] for i in range(self.n_shards)]
+
+    def _route(self, lanes) -> list[np.ndarray]:
+        """Global lane indices -> one local-index array per shard."""
+        lanes = np.asarray(lanes, int)
+        if lanes.size and (lanes.min() < 0 or lanes.max() >= self.n):
+            raise ValueError(f"lane index out of range 0..{self.n - 1}")
+        b = self.lanes_per_shard
+        return [lanes[lanes // b == i] - i * b
+                for i in range(self.n_shards)]
+
+    # -- MultiStreamSession surface --------------------------------------
+    def push(self, samples: np.ndarray, quantize: bool = True) -> np.ndarray:
+        return np.stack(self.push_per_lane(samples, quantize), axis=0)
+
+    def push_per_lane(self, samples: np.ndarray,
+                      quantize: bool = True) -> list[np.ndarray]:
+        samples = np.asarray(samples, np.float64)
+        if samples.ndim != 2 or samples.shape[0] != self.n:
+            raise ValueError(f"push expects ({self.n}, n) samples")
+        out: list[np.ndarray] = []
+        # back-to-back shard dispatch: with pipeline_ticks, shard i's
+        # push fetches its ALREADY-FINISHED tick n-1 and dispatches tick
+        # n before shard i+1 runs — fetch overlaps the other shards'
+        # device compute (the measured-ceiling dispatch pattern)
+        for sh, part in zip(self.shards, self._split(samples)):
+            out.extend(sh.push_per_lane(part, quantize))
+        return out
+
+    def flush(self, quantize: bool = True) -> np.ndarray:
+        return np.concatenate(
+            [sh.flush(quantize) for sh in self.shards], axis=0)
+
+    def drain(self, quantize: bool = True) -> list[np.ndarray]:
+        out: list[np.ndarray] = []
+        for sh in self.shards:
+            out.extend(sh.drain(quantize))
+        return out
+
+    def set_adaptation(self, on: bool, lanes=None,
+                       quantize: bool = True) -> list[np.ndarray]:
+        routed = [None] * self.n_shards if lanes is None \
+            else self._route(lanes)
+        out: list[np.ndarray] = []
+        # every shard flushes its pending block (even with no selected
+        # lanes) so the fleet's emission clocks stay in lockstep
+        for sh, loc in zip(self.shards, routed):
+            out.extend(sh.set_adaptation(
+                on, None if loc is None else loc, quantize))
+        return out
+
+    def zero_queue_rows(self, lanes) -> None:
+        for sh, loc in zip(self.shards, self._route(lanes)):
+            if len(loc):
+                sh.zero_queue_rows(loc)
+
+    def reset_lanes(self, lanes) -> None:
+        for sh, loc in zip(self.shards, self._route(lanes)):
+            if len(loc):
+                sh.reset_lanes(loc)

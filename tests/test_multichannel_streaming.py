@@ -260,3 +260,85 @@ def test_pmwf_state_checkpoint_roundtrip(mix, tmp_path):
     _, st_b = run(jnp.asarray(fr[:, 40:], jnp.float64), st_r)
     np.testing.assert_array_equal(np.asarray(st_b.ycov),
                                   np.asarray(st_full.ycov))
+
+
+def _frames_of(x, cfg):
+    from se_snmf_nat_tpu.dsp.stft import stream_frames
+    s = cfg.signal
+    return np.stack([stream_frames(ch, s.framelength, s.frameshift,
+                                   n_flush=cfg.delay + 1) for ch in x])
+
+
+def test_fast_plan_matches_scan_plan_x64(mix):
+    """The whole-utterance batched plan (make_pmwf_streaming_run_fast)
+    reproduces the scan plan: identical int16-written output and matching
+    carried state at x64, including the init-freeze crossing and periodic
+    normalize inside the call."""
+    from se_snmf_nat_tpu.multichannel import (make_pmwf_streaming_run_fast)
+    from se_snmf_nat_tpu.utils.matlab_compat import matlab_int16_write
+
+    x, _ = mix
+    x = x[:, :16000]
+    cfg = default_config()
+    p = PmwfParams()
+    fr = _frames_of(x, cfg)
+    st0 = pmwf_stream_init(p, C, cfg.signal.n_bins, jnp.complex128)
+    run = make_pmwf_streaming_run(cfg, p, jnp.float64)
+    fast = make_pmwf_streaming_run_fast(cfg, p, jnp.float64)
+    y_w, st_w = run(jnp.asarray(fr, jnp.float64), st0)
+    y_g, st_g = fast(jnp.asarray(fr, jnp.float64), st0)
+    np.testing.assert_array_equal(matlab_int16_write(np.asarray(y_g)),
+                                  matlab_int16_write(np.asarray(y_w)))
+    np.testing.assert_allclose(np.asarray(st_g.ycov),
+                               np.asarray(st_w.ycov), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_g.ncov),
+                               np.asarray(st_w.ncov), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_g.y_win),
+                               np.asarray(st_w.y_win), rtol=1e-12)
+    assert int(st_g.l) == int(st_w.l)
+
+
+def test_fast_plan_state_carry_chunks(mix):
+    """Two chunked fast-plan calls == one whole call (y_win tail, Ycov,
+    frozen-Ncov continuation across the call boundary)."""
+    from se_snmf_nat_tpu.multichannel import make_pmwf_streaming_run_fast
+
+    x, _ = mix
+    x = x[:, :12800]
+    cfg = default_config()
+    p = PmwfParams()
+    fr = _frames_of(x, cfg)
+    st0 = pmwf_stream_init(p, C, cfg.signal.n_bins, jnp.complex128)
+    fast = make_pmwf_streaming_run_fast(cfg, p, jnp.float64)
+    y_full, st_full = fast(jnp.asarray(fr, jnp.float64), st0)
+    # split INSIDE the init period so the freeze crossing spans calls
+    for k in (7, 40):
+        _, st_a = fast(jnp.asarray(fr[:, :k], jnp.float64), st0)
+        _, st_b = fast(jnp.asarray(fr[:, k:], jnp.float64), st_a)
+        np.testing.assert_allclose(np.asarray(st_b.ycov),
+                                   np.asarray(st_full.ycov), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(st_b.ncov),
+                                   np.asarray(st_full.ncov), rtol=1e-12)
+        assert int(st_b.l) == int(st_full.l)
+
+
+def test_fast_plan_f32_finite_and_close(mix):
+    """f32 deployment gate: the fast plan stays finite on the coherent
+    fixture and tracks the scan plan (cross-plan f32 drift is rounding-
+    level, not trajectory-level — there is no adaptive feedback here)."""
+    from se_snmf_nat_tpu.multichannel import make_pmwf_streaming_run_fast
+
+    x, _ = mix
+    x = x[:, :16000]
+    cfg = default_config()
+    p = PmwfParams()
+    fr = _frames_of(x, cfg)
+    st0 = pmwf_stream_init(p, C, cfg.signal.n_bins, jnp.complex64)
+    run = make_pmwf_streaming_run(cfg, p, jnp.float32)
+    fast = make_pmwf_streaming_run_fast(cfg, p, jnp.float32)
+    y_w, _ = run(jnp.asarray(fr, jnp.float32), st0)
+    y_g, _ = fast(jnp.asarray(fr, jnp.float32), st0)
+    y_w, y_g = np.asarray(y_w), np.asarray(y_g)
+    assert np.isfinite(y_g).all()
+    c = np.corrcoef(y_w.ravel(), y_g.ravel())[0, 1]
+    assert c > 0.9999, c

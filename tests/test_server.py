@@ -256,3 +256,126 @@ def test_slow_reader_cut_off_not_stalling_fleet(enh):
 
     out = _run(asyncio.wait_for(go(), timeout=120))
     np.testing.assert_array_equal(out, want.astype(np.int16))
+
+
+@pytest.mark.slow
+def test_churn_storm_64_lanes_sharded(enh):
+    """VERDICT r4 #8: 100+-connection churn against a 64-lane SHARDED
+    fleet (the cli serve --sub-fleets path) — waves of well-behaved,
+    aborting, trickle-then-die and deaf clients — with bit-parity
+    sampling on the surviving lanes and a liveness probe at the end.
+
+    Green means: no churn pattern wedges the lockstep fleet, freed lanes
+    are handed to later waves with clean state, and every client that
+    played by the rules got the SAME bytes a solo StreamingSession
+    produces."""
+    import socket
+    import struct
+
+    hop = enh.cfg.signal.frameshift
+    n_lanes = 64
+    x_par = _signals(6, 8 * hop, seed=31)          # parity-sampled signals
+    wants = [_reference_stream(enh, x) for x in x_par]
+    x_junk = _signals(1, 24 * hop, seed=37)[0]     # long feed for deaf
+
+    async def go():
+        srv = await EnhanceServer(enh, n_lanes=n_lanes, block_frames=2,
+                                  sub_fleets=2,
+                                  max_write_buffer=4096).start()
+        refused = 0
+
+        async def normal(x):
+            nonlocal refused
+            try:
+                return await enhance_over_socket(
+                    "127.0.0.1", srv.port, x, chunk=501)
+            except RuntimeError:                   # busy — acceptable
+                refused += 1
+                return None
+
+        async def aborter(rst: bool):
+            """Connect, trickle a partial hop, die (RST or FIN)."""
+            nonlocal refused
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", srv.port)
+            hdr = await reader.readline()
+            if b"error" in hdr:
+                refused += 1
+                writer.close()
+                return
+            writer.write(b"\x01\x00" * 37)         # partial hop
+            await writer.drain()
+            await asyncio.sleep(0.01)
+            if rst:
+                sock = writer.get_extra_info("socket")
+                sock.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                                struct.pack("ii", 1, 0))
+            writer.close()
+
+        async def deaf():
+            """Feeds a long signal, never reads; must be cut off by the
+            write-buffer cap, not stall the fleet."""
+            nonlocal refused
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", srv.port)
+            hdr = await reader.readline()
+            if b"error" in hdr:
+                refused += 1
+                writer.close()
+                return
+            me = writer.get_extra_info("sockname")
+            for ln in srv.lanes:                   # force tiny buffers so
+                if ln.writer is None:              # the cap trips fast
+                    continue
+                s = ln.writer.get_extra_info("socket")
+                if s is not None and s.getpeername() == me:
+                    s.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 1)
+                    ln.writer.transport.set_write_buffer_limits(0, 0)
+            try:
+                writer.write(x_junk.astype("<i2").tobytes())
+                await writer.drain()
+                for _ in range(1200):              # hold, never reading,
+                    if writer.is_closing():        # until the cap cuts us
+                        break
+                    await asyncio.sleep(0.05)
+            except (ConnectionResetError, BrokenPipeError, OSError):
+                pass                               # cut off — expected
+            finally:
+                writer.close()
+
+        outs = {}
+        try:
+            for wave in range(3):
+                tasks = []
+                for i, x in enumerate(x_par):
+                    async def par(i=i, x=x):
+                        outs[(wave, i)] = await normal(x)
+                    tasks.append(par())
+                tasks += [normal(x_par[0]) for _ in range(20)]
+                tasks += [aborter(rst=(j % 2 == 0)) for j in range(12)]
+                tasks += [deaf() for _ in range(4)]
+                await asyncio.gather(*tasks)
+                # let the storm's lanes drain + free before the next wave
+                for _ in range(800):
+                    if all(ln.state == "free" for ln in srv.lanes):
+                        break
+                    await asyncio.sleep(0.01)
+            # liveness probe: a fresh client on the settled server
+            outs["probe"] = await normal(x_par[0])
+            states = [ln.state for ln in srv.lanes]
+        finally:
+            await srv.stop()
+        return outs, refused, states
+
+    outs, refused, states = _run(asyncio.wait_for(go(), timeout=600))
+    assert states == ["free"] * n_lanes
+    served = 0
+    for (wave, i) in [(w, i) for w in range(3) for i in range(len(x_par))]:
+        got = outs[(wave, i)]
+        if got is None:
+            continue
+        served += 1
+        np.testing.assert_array_equal(got, wants[i].astype(np.int16))
+    assert served >= 12                 # parity actually sampled per wave
+    np.testing.assert_array_equal(outs["probe"],
+                                  wants[0].astype(np.int16))

@@ -316,3 +316,101 @@ def test_per_lane_adaptation_toggle(enh, m03_wav):
     toggled.push(np.stack([x, x, x]))
     assert not np.array_equal(np.asarray(toggled.state.b_d_head[1]),
                               h_frozen)
+
+
+# ---------------------------------------------------------------------------
+# ShardedFleet: the product form of the sharded serving ceiling
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_sharded_fleet_matches_single_session(enh, m03_wav):
+    """N sub-fleet programs over lane slices == one MultiStreamSession,
+    bit-for-bit, on the samples wire with pipelining (the deployment
+    shape the SERVING ceiling row measures)."""
+    from se_snmf_nat_tpu.stream.serving import ShardedFleet
+
+    xs = _lanes(m03_wav, 4, 12000)
+    ref = MultiStreamSession(enh, 4, block_frames=8, wire="samples")
+    w = np.concatenate([ref.push(xs), ref.flush()], axis=1)
+    fleet = ShardedFleet(enh, 4, sub_fleets=2, block_frames=8,
+                         wire="samples", pipeline_ticks=True)
+    g = np.concatenate([fleet.push(xs), fleet.flush()], axis=1)
+    np.testing.assert_array_equal(g, w)
+
+
+@pytest.mark.slow
+def test_sharded_fleet_lane_lifecycle_routes_globally(enh, m03_wav):
+    """reset_lanes / zero_queue_rows / set_adaptation with GLOBAL lane
+    indices land on the right shard: outputs equal the unsharded fleet
+    run through the identical lifecycle."""
+    from se_snmf_nat_tpu.stream.serving import ShardedFleet
+
+    xs = _lanes(m03_wav, 4, 9600)
+    s = enh.cfg.signal
+    blk = 4 * s.frameshift
+    outs = {}
+    for make in (lambda: MultiStreamSession(enh, 4, block_frames=4,
+                                            wire="samples"),
+                 lambda: ShardedFleet(enh, 4, sub_fleets=2, block_frames=4,
+                                      wire="samples")):
+        fleet = make()
+        chunks = [fleet.push_per_lane(xs[:, :4 * blk])]
+        chunks.append(fleet.set_adaptation(False, lanes=[1, 3]))
+        fleet.reset_lanes([2])          # lane 2 = shard 1, local 0
+        chunks.append(fleet.push_per_lane(xs[:, 4 * blk: 8 * blk]))
+        outs[type(fleet).__name__] = [
+            np.concatenate([c[i] for c in chunks]) for i in range(4)]
+    for i in range(4):
+        np.testing.assert_array_equal(outs["ShardedFleet"][i],
+                                      outs["MultiStreamSession"][i])
+
+
+def test_sharded_fleet_validates_divisibility(enh):
+    from se_snmf_nat_tpu.stream.serving import ShardedFleet
+
+    with pytest.raises(ValueError):
+        ShardedFleet(enh, 5, sub_fleets=2)
+    fleet = ShardedFleet(enh, 4, sub_fleets=2)
+    with pytest.raises(ValueError):
+        fleet.reset_lanes([4])
+
+
+@pytest.mark.slow
+def test_server_sub_fleets_bit_parity(enh, m03_wav):
+    """EnhanceServer over a ShardedFleet serves the same bytes as over a
+    MultiStreamSession (the cli serve --sub-fleets path)."""
+    import asyncio
+
+    from se_snmf_nat_tpu.runtime.server import (EnhanceServer,
+                                                enhance_over_socket)
+
+    xs = _lanes(m03_wav, 2, 8000)
+
+    async def run(sub_fleets):
+        srv = EnhanceServer(enh, n_lanes=4, block_frames=4,
+                            sub_fleets=sub_fleets)
+        await srv.start()
+        try:
+            outs = await asyncio.gather(*[
+                enhance_over_socket(srv.host, srv.port,
+                                    xs[i % 2].astype(np.int16))
+                for i in range(4)])
+        finally:
+            await srv.stop()
+        return outs
+
+    a = asyncio.run(run(1))
+    b = asyncio.run(run(2))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_serving_product_path_mechanics(enh):
+    from se_snmf_nat_tpu.runtime.profiling import (
+        measure_serving_product_path)
+    rep = measure_serving_product_path(enh, plans=((1, 2), (2, 2)),
+                                       block_frames=4, n_ticks=3)
+    assert rep["deadline_ms"] == 40.0
+    assert [r["total_streams"] for r in rep["table"]] == [2, 4]
+    assert all(r["tick_ms"] > 0 for r in rep["table"])
+    assert rep["pipeline_ticks"] is True
