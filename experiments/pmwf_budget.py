@@ -104,6 +104,7 @@ for mode in ("full", "no_cov", "no_solve", "no_apply"):
     budget[mode] = {"call_s": round(el, 4),
                     "au_s_per_s": round(8 * audio_s / el, 1),
                     "finite": finite}
+    print("scan", mode, budget[mode], flush=True)
 out["scan_budget_8lane"] = budget
 
 # ---- fast plan: lane sweep -------------------------------------------
@@ -113,6 +114,7 @@ for b in (1, 8, 16, 32):
     fast_rows[str(b)] = {"call_s": round(el, 4),
                          "au_s_per_s": round(b * audio_s / el, 1),
                          "finite": finite}
+    print("fast", b, fast_rows[str(b)], flush=True)
 out["fast_plan_lanes"] = fast_rows
 
 # ---- scan plan lane sweep (context for the scaling story) -------------
@@ -122,6 +124,7 @@ for b in (8, 32):
     scan_rows[str(b)] = {"call_s": round(el, 4),
                          "au_s_per_s": round(b * audio_s / el, 1),
                          "finite": finite}
+    print("scanlanes", b, scan_rows[str(b)], flush=True)
 out["scan_plan_lanes"] = scan_rows
 
 print(json.dumps(out, indent=1))
