@@ -1373,38 +1373,53 @@ def cmd_bench(args) -> int:
         from se_snmf_nat_tpu.dsp.stft import stream_frames
         from se_snmf_nat_tpu.multichannel import (
             PmwfParams, PmwfStreamingSession, make_pmwf_batch_run,
-            pmwf_stream_init)
+            make_pmwf_batch_run_fast, pmwf_stream_init)
         p = PmwfParams()
         s = cfg.signal
         lane_frames = np.stack([
             stream_frames(ch, s.framelength, s.frameshift,
                           n_flush=cfg.delay + 1) for ch in ch6])
-        for b_lanes in (8, 32):
-            frames_b = jnp.asarray(
-                np.stack([lane_frames] * b_lanes), jnp.float32)
-            st0 = pmwf_stream_init(p, 6, s.n_bins, jnp.complex64)
-            # jitted broadcast: eager complex ops can hit the tunnel's
-            # UNIMPLEMENTED complex-transfer path (see pmwf_stream_init)
-            states = jax.jit(lambda st: jax.tree.map(
-                lambda a: jnp.broadcast_to(a, (b_lanes,) + a.shape),
-                st))(st0)
-            batch_run = make_pmwf_batch_run(cfg, p, jnp.float32)
-            ys, _ = batch_run(frames_b, states)
-            jax.block_until_ready(ys)
-            laps = []
-            for _ in range(3):
-                t0 = _time.perf_counter()
-                for _ in range(6):
-                    ys, _ = batch_run(frames_b, states)
-                float(jnp.sum(ys))
-                laps.append((_time.perf_counter() - t0) / 6)
-            el = min(laps)
-            out[f"pmwf_stream_batch{b_lanes}"] = {
-                "call_s": round(el, 3),
-                "audio_s_per_s": round(b_lanes * len(x) / fs / el, 1),
-                "output_finite": bool(np.isfinite(np.asarray(ys)).all()),
-                "note": "streaming semantics (running cov + init freeze), "
-                        f"{b_lanes} lanes x 6 ch, per-frame filters"}
+
+        def _stream_rows(make_run, lane_grid, tag, note):
+            for b_lanes in lane_grid:
+                frames_b = jnp.asarray(
+                    np.stack([lane_frames] * b_lanes), jnp.float32)
+                st0 = pmwf_stream_init(p, 6, s.n_bins, jnp.complex64)
+                # jitted broadcast: eager complex ops can hit the
+                # tunnel's UNIMPLEMENTED complex-transfer path
+                states = jax.jit(lambda st: jax.tree.map(
+                    lambda a: jnp.broadcast_to(a, (b_lanes,) + a.shape),
+                    st))(st0)
+                batch_run = make_run(cfg, p, jnp.float32)
+                ys, _ = batch_run(frames_b, states)
+                jax.block_until_ready(ys)
+                laps = []
+                for _ in range(3):
+                    t0 = _time.perf_counter()
+                    for _ in range(6):
+                        ys, _ = batch_run(frames_b, states)
+                    float(jnp.sum(ys))
+                    laps.append((_time.perf_counter() - t0) / 6)
+                el = min(laps)
+                out[f"{tag}{b_lanes}"] = {
+                    "call_s": round(el, 3),
+                    "audio_s_per_s": round(b_lanes * len(x) / fs / el, 1),
+                    "output_finite": bool(
+                        np.isfinite(np.asarray(ys)).all()),
+                    "note": note.format(b=b_lanes)}
+
+        _stream_rows(make_pmwf_batch_run, (8, 32), "pmwf_stream_batch",
+                     "streaming semantics (running cov + init freeze), "
+                     "{b} lanes x 6 ch, per-frame filters (scan plan)")
+        # r5 whole-utterance batched plan of the SAME streaming
+        # semantics: only the Ycov recurrence stays sequential; the
+        # windowed covariances, per-bin HPD solves and filter applies
+        # batch over all frames (budget + OOM layout findings in
+        # experiments/pmwf_budget_out.json and BASELINE.md)
+        _stream_rows(make_pmwf_batch_run_fast, (1, 8, 32),
+                     "pmwf_stream_fast",
+                     "streaming semantics, whole-utterance batched fast "
+                     "plan, {b} lanes x 6 ch")
 
         # ---- single-lane push-based session: hop-amortized latency (the
         # real-time deployment check for north-star config #4)
@@ -1522,6 +1537,30 @@ def _common_enh_args(sp):
                     choices=["online", "supervised"])
 
 
+def cmd_grid(args) -> int:
+    """The reference's actual experiment (Do_MultiBatch_IS16_20160324.m
+    :181-221) run end to end on a synthesized grid — see runtime/grid.py
+    for the corpus construction and the held-out-segment discipline."""
+    from se_snmf_nat_tpu.runtime.grid import (NOISE_TYPES, SNR_LIST,
+                                              build_grid_corpus, run_grid)
+    ws = Path(args.workspace)
+    kw = {}
+    if args.noises:
+        kw["noises"] = tuple(args.noises)
+    if args.snrs:
+        kw["snrs"] = tuple(args.snrs)
+    if not (ws / "manifest.json").exists():
+        build_grid_corpus(ws, clip_s=args.clip_seconds,
+                          n_clips=args.n_clips, seed=args.seed, **kw)
+    rep = run_grid(ws, algorithms=tuple(args.algorithms), rank=args.rank,
+                   max_iter=args.max_iter)
+    out = json.dumps(rep)
+    if args.report:
+        Path(args.report).write_text(out)
+    print(out)
+    return 0
+
+
 def cmd_serve(args) -> int:
     """TCP real-time enhancement daemon: one process owns the TPU and
     multiplexes N network streams onto the lockstep fleet
@@ -1629,6 +1668,27 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--batch-size", type=int, default=1)
     c.add_argument("--seed", type=int)
     c.set_defaults(fn=cmd_campaign)
+
+    gr = sub.add_parser(
+        "grid", help="the reference's IS16 SNR-grid experiment, "
+                     "self-contained: synthesize six-noise x four-SNR "
+                     "mixtures, train, enhance with every algorithm, "
+                     "report the cross-algorithm quality battery")
+    gr.add_argument("--workspace", required=True,
+                    help="grid corpus + outputs root (created if absent)")
+    gr.add_argument("--rank", type=int, default=100)
+    gr.add_argument("--algorithms", nargs="+",
+                    default=["snmf", "snmf_fixed", "imcra", "ms", "bnmf"])
+    gr.add_argument("--noises", nargs="+", default=None,
+                    help="subset of the six noise types")
+    gr.add_argument("--snrs", nargs="+", type=int, default=None)
+    gr.add_argument("--clip-seconds", type=float, default=2.4)
+    gr.add_argument("--n-clips", type=int, default=3)
+    gr.add_argument("--seed", type=int, default=0)
+    gr.add_argument("--max-iter", type=int, default=None)
+    gr.add_argument("--report", default=None,
+                    help="write the JSON report here too")
+    gr.set_defaults(fn=cmd_grid)
 
     sv = sub.add_parser(
         "serve", help="TCP enhancement server (multi-tenant lockstep "

@@ -236,22 +236,39 @@ def make_pmwf_streaming_run_fast(cfg: PipelineConfig, params: PmwfParams,
         # once per frame and box-summing is 2L+1 times fewer multiplies
         # than per-window einsums AND avoids materializing the
         # (T, 2M+1, C, F, 2L+1) stack a vmapped window_cov would build
-        # (29 GB at 8 lanes — the r5 budget run's OOM).  Regrouping the
-        # 25-term sum into 5x5 changes only summation ORDER; the x64 gate
-        # vs the scan plan is post-int16-write (tests).
+        # (29 GB at 8 lanes — the r5 budget run's first OOM).  Regrouping
+        # the 25-term sum into 5x5 changes only summation ORDER; the x64
+        # gate vs the scan plan is post-int16-write (tests).
+        #
+        # LAYOUT: every whole-trajectory covariance tensor keeps (C, C)
+        # LEADING and (T/F) trailing — TPU tiles pad a trailing (6, 6)
+        # pair 28x (f32[8,351,513,6,6] padded to 5.5 GB, the budget run's
+        # second OOM); (..., 6, 513) pads only 1.3x.
         f = ypad.shape[2]
+        nc = ypad.shape[0]
         interior = (jnp.arange(f) >= p.m_nbr) & (jnp.arange(f)
                                                  < f - p.m_nbr)
         shifts = []
         for dm in range(-p.m_nbr, p.m_nbr + 1):
             rolled = jnp.roll(ypad, -dm, axis=2)
             shifts.append(jnp.where(interior[None, None, :], rolled, ypad))
-        z = jnp.stack(shifts, axis=0)              # (2M+1, C, T', F)
-        g = jnp.einsum("mctf,mdtf->tfcd", z, jnp.conj(z),
-                       precision=jax.lax.Precision.HIGH)   # (T', F, C, C)
+        # per-(i, j) covariance trajectories as a flat PAIRS axis
+        # (T', C*C, F) built from elementwise multiply-adds: an einsum's
+        # (..., C, C, ...) dot output gets a tile layout whose tiny C
+        # dims pad into (8, 128) TPU tiles — 28x the logical bytes, the
+        # budget run's OOM — while the pair-stacked layout pads ~1.4x.
+        # Summation over the 2M+1 shifts stays in index order (parity).
+        pairs = []
+        for i in range(nc):
+            for j in range(nc):
+                acc_ij = shifts[0][i] * jnp.conj(shifts[0][j])
+                for m in range(1, 2 * p.m_nbr + 1):
+                    acc_ij = acc_ij + shifts[m][i] * jnp.conj(shifts[m][j])
+                pairs.append(acc_ij)               # (T', F)
+        g = jnp.stack(pairs, axis=1)               # (T', P, F)
         r_all = g[:t]
         for i in range(1, ml):
-            r_all = r_all + g[i: i + t]            # (T, F, C, C)
+            r_all = r_all + g[i: i + t]            # (T, P, F)
 
         ls = state0.l + 1 + jnp.arange(t, dtype=jnp.int32)
         divs = (ls % p.norm_period) == 0
@@ -262,7 +279,8 @@ def make_pmwf_streaming_run_fast(cfg: PipelineConfig, params: PmwfParams,
             ycov = jnp.where(div, ycov / (p.norm_period - 1), ycov)
             return ycov, ycov
 
-        ycov_last, ycovs = jax.lax.scan(acc, state0.ycov, (r_all, divs))
+        ycov0 = jnp.transpose(state0.ycov, (1, 2, 0)).reshape(nc * nc, f)
+        ycov_last, ycovs = jax.lax.scan(acc, ycov0, (r_all, divs))
         # frozen Ncov: the Ycov value at l == init_n_len — inside this
         # call if the stream crosses the boundary here, else the carried
         # state (already-frozen streams)
@@ -271,24 +289,97 @@ def make_pmwf_streaming_run_fast(cfg: PipelineConfig, params: PmwfParams,
             idx >= 0,
             jax.lax.dynamic_index_in_dim(
                 ycovs, jnp.clip(idx, 0, t - 1), axis=0, keepdims=False),
-            state0.ncov)
-        in_init = (ls <= p.init_n_len)[:, None, None, None]
-        ncovs = jnp.where(in_init, ycovs, frozen[None])
-        ecovs = ycovs - ncovs
-        h = jax.vmap(
-            lambda n, e: pmwf_filters(n, e, p.beta, p.diag_load))(
-            ncovs, ecovs)                                  # (T, F, J, C)
-        centers = ypad[:, p.l_nbr: p.l_nbr + t, :]         # (C, T, F)
-        d_seq = jnp.einsum("tfjc,ctf->tjf", jnp.conj(h), centers)
+            jnp.transpose(state0.ncov, (1, 2, 0)).reshape(nc * nc, f))
+        in_init = (ls <= p.init_n_len)[:, None]           # (T, 1)
+        h = _pmwf_filters_leading(ycovs, frozen, in_init, nc, p)
+        centers = ypad[:, p.l_nbr: p.l_nbr + t, :]        # (C, T, F)
+        d_seq = jnp.einsum("jctf,ctf->tjf", jnp.conj(h), centers)
+        ncov_last = jnp.where(state0.l + t <= p.init_n_len, ycov_last,
+                              frozen)
         state = PmwfStreamState(
             y_win=jnp.moveaxis(ypad[:, t - 1: t - 1 + ml, :], 1, 2),
-            ycov=ycov_last,
-            ncov=jnp.where(state0.l + t <= p.init_n_len, ycov_last,
-                           frozen),
+            ycov=jnp.transpose(ycov_last.reshape(nc, nc, f), (2, 0, 1)),
+            ncov=jnp.transpose(ncov_last.reshape(nc, nc, f), (2, 0, 1)),
             l=state0.l + t)
         return _synthesis_one(d_seq, win, s, dtype), state
 
     return run
+
+
+def _pmwf_filters_leading(ycovs: jnp.ndarray, frozen: jnp.ndarray,
+                          in_init: jnp.ndarray, c: int, p: PmwfParams,
+                          flr: float = 1e-9) -> jnp.ndarray:
+    """``pmwf.pmwf_filters`` + ``solve_hpd_small`` on the fast plan's
+    flat-PAIRS covariance layout: ycovs (T, C*C, F), frozen (C*C, F),
+    in_init (T, 1) bool -> filter bank (J, C, T, F).
+
+    Same math in the same per-element order as the trailing-layout
+    originals (eps-relative diagonal load, unrolled Cholesky with
+    eps-relative pivot floors, forward/backward substitution, trace
+    normalize) — layout is the only difference, because TPU tile padding
+    makes a whole-trajectory (T, F, 6, 6) tensor 28x its logical size
+    (the r5 budget OOM).  Ncov/Ecov are formed per (i, j) entry from the
+    Ycov trajectory + frozen value, so neither is ever materialized as a
+    full tensor.  x64 parity with the scan plan is gated post-int16-write
+    in tests/test_multichannel_streaming.py."""
+    rdtype = jnp.real(ycovs).dtype
+    eps = jnp.finfo(ycovs.dtype).eps
+    tiny = jnp.finfo(ycovs.dtype).tiny
+
+    def ncov(i, j):                                 # (T, F)
+        return jnp.where(in_init, ycovs[:, i * c + j],
+                         frozen[None, i * c + j])
+
+    def ecov(i, j):
+        return ycovs[:, i * c + j] - ncov(i, j)
+
+    # a = Ncov + (diag_load + eps*trace/C) I   (pmwf_filters:172-176)
+    tr_n = sum(jnp.real(ncov(i, i)) for i in range(c))
+    load = (p.diag_load + eps * tr_n / c).astype(rdtype)
+
+    def a(i, j):
+        base = ncov(i, j)
+        return base + load if i == j else base
+
+    # unrolled Cholesky with eps-relative pivot floors (solve_hpd_small)
+    l = [[None] * c for _ in range(c)]
+    for i in range(c):
+        pivot_flr = eps * jnp.real(a(i, i)) + tiny
+        for j in range(i + 1):
+            sij = a(i, j)
+            for k in range(j):
+                sij = sij - l[i][k] * jnp.conj(l[j][k])
+            if i == j:
+                l[i][j] = jnp.sqrt(
+                    jnp.maximum(jnp.real(sij), pivot_flr)).astype(
+                    ycovs.dtype)
+            else:
+                l[i][j] = sij / l[j][j]
+    # columns of Ecov solved per k: necov[:, k] = A^-1 Ecov[:, k]
+    necov = [[None] * c for _ in range(c)]
+    for k in range(c):
+        y = [None] * c
+        for i in range(c):
+            sik = ecov(i, k)
+            for m in range(i):
+                sik = sik - l[i][m] * y[m]
+            y[i] = sik / l[i][i]
+        x = [None] * c
+        for i in reversed(range(c)):
+            sik = y[i]
+            for m in range(i + 1, c):
+                sik = sik - jnp.conj(l[m][i]) * x[m]
+            x[i] = sik / l[i][i]
+        for i in range(c):
+            necov[i][k] = x[i]
+    lam = necov[0][0]
+    for i in range(1, c):
+        lam = lam + necov[i][i]
+    scale = p.beta + lam + flr
+    # H[j, c'] = necov[c', j] / scale   (pmwf_filters:177-180)
+    return jnp.stack([
+        jnp.stack([necov[cp][j] / scale for cp in range(c)])
+        for j in range(c)])
 
 
 def make_pmwf_batch_run_fast(cfg: PipelineConfig, params: PmwfParams,

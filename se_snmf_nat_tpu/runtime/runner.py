@@ -118,6 +118,8 @@ class BatchRunner:
     def run(self, db_in: str | Path, db_out: str | Path,
             batch_size: int = 1, ch: int = 1,
             filegap: int | None = None) -> RunReport:
+        if ch < 1:
+            raise ValueError("ch must be >= 1")
         if ch > 1:
             return self.run_multichannel(db_in, db_out, ch, filegap)
         db_in, db_out = Path(db_in), Path(db_out)

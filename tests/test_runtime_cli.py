@@ -506,3 +506,45 @@ def test_cli_demo_toggle_every(wav_db, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "NAT adaptation -> OFF" in out
     assert "NAT adaptation -> ON" in out
+
+
+@pytest.mark.slow
+def test_batchrunner_multichannel_grouping(tmp_path):
+    """run_IMCRA.m:7-30 ch/filegap semantics: the sorted file list walks
+    with stride filegap, each ch-group forms one multichannel session;
+    outputs match a direct enhancer call on the stacked channels, and
+    skip-if-exists probes the LAST channel's output (the reference's
+    fopen(path_denoise(p.ch,:)))."""
+    import jax.numpy as jnp
+    from se_snmf_nat_tpu.io.wavio import read_wav_int16, write_wav_int16
+    from se_snmf_nat_tpu.multichannel.fixture import synth_mixture
+    from se_snmf_nat_tpu.multichannel.pmwf import PmwfEnhancer
+    from se_snmf_nat_tpu.runtime.runner import BatchRunner
+
+    x, _ = synth_mixture(n=16000, n_ch=2)
+    db = tmp_path / "db"
+    db.mkdir()
+    # two 2-channel sessions: per-mic files in sorted order (CHiME shape)
+    for sess in range(2):
+        for c in range(2):
+            write_wav_int16(db / f"s{sess}_ch{c}.wav",
+                            np.rint(x[c] * (1.0 + 0.1 * sess))
+                            .astype(np.int16), 16000)
+    enh = PmwfEnhancer(dtype=jnp.float64)
+    out = tmp_path / "out"
+    runner = BatchRunner(enh, verbose=False)
+    rep = runner.run(db, out, ch=2)
+    assert len(rep.processed) == 4 and not rep.skipped
+    for sess in range(2):
+        stacked = np.stack([
+            read_wav_int16(db / f"s{sess}_ch{c}.wav")[0] for c in (0, 1)])
+        want = np.atleast_2d(enh.enhance(stacked))
+        for c in range(2):
+            got, _ = read_wav_int16(out / f"s{sess}_ch{c}_enh.wav")
+            np.testing.assert_array_equal(got, want[c].astype(np.int16))
+    # skip-if-exists on rerun (last channel probe)
+    rep2 = BatchRunner(enh, verbose=False).run(db, out, ch=2)
+    assert not rep2.processed and len(rep2.skipped) == 4
+    for bad in ({"ch": 0}, {"ch": 2, "filegap": 0}):
+        with pytest.raises(ValueError):
+            BatchRunner(enh, verbose=False).run(db, out, **bad)
