@@ -701,13 +701,55 @@ def cmd_bench(args) -> int:
             # FLOPs per full MU iteration: H update (2 GEMM-class
             # contractions) + W update (2) + two Lambda rebuilds
             flops_per_iter = 6 * (2.0 * f_bins * r * t_cols)
+
+            # ---- speed-of-light ceiling (the bench.py H-solve
+            # methodology at the TRAINING shape): the same while-loop
+            # stripped to its six irreducible GEMM-class contractions
+            # per W+H iteration, identical shapes/precision — full
+            # solver rate / chain rate = roofline fraction
+            prec = params.lax_precision
+            w0c, h0c = inits()
+            wn = w0c / jnp.sqrt(jnp.sum(w0c * w0c, axis=0))[None, :]
+
+            @jax.jit
+            def gemm_chain(w, h):
+                def body(carry, _):
+                    w, h = carry
+                    lam = jnp.matmul(w, h, precision=prec)
+                    dmh = jnp.matmul(w.T, lam, precision=prec)
+                    h = h * jnp.float32(0.999) + dmh * jnp.float32(1e-9)
+                    lam2 = jnp.matmul(w, h, precision=prec)
+                    c = jnp.matmul(lam2, h.T, precision=prec)
+                    w = w * jnp.float32(0.999) + c * jnp.float32(1e-9)
+                    lam3 = jnp.matmul(w, h, precision=prec)
+                    dmh2 = jnp.matmul(w.T, lam3, precision=prec)
+                    h = h + dmh2 * jnp.float32(1e-9)
+                    return (w, h), None
+                return jax.lax.scan(body, (w, h), None, length=it)[0]
+
+            wc, hc = gemm_chain(wn, h0c)                 # compile
+            float(jnp.sum(wc))
+            cwin = []
+            for _ in range(3):
+                w0c, h0c = inits()
+                jax.block_until_ready((w0c, h0c))
+                t0 = _time.perf_counter()
+                wc, hc = gemm_chain(w0c, h0c)
+                float(jnp.sum(wc))
+                cwin.append(_time.perf_counter() - t0)
+            ceil_el = min(cwin)
+            achieved = it * flops_per_iter / el
+            peak = 197e12 if jax.devices()[0].platform != "cpu" else 1e12
             print(json.dumps({
                 "train_shape": f"F={f_bins} T={t_cols} r={r}",
                 "solve_wall_s": round(el, 4),
                 "mu_iters": it,
                 "train_mu_iters_per_s": round(it / el, 1),
-                "train_gemm_tflops": round(it * flops_per_iter / el / 1e12,
-                                           2),
+                "train_gemm_tflops": round(achieved / 1e12, 2),
+                "train_mfu_vs_bf16_peak": round(achieved / peak, 4),
+                "train_ceiling_tflops": round(
+                    it * flops_per_iter / ceil_el / 1e12, 2),
+                "train_roofline_frac": round(ceil_el / el, 4),
                 "audio_seconds_trained": round(8 * len(x) / fs, 1),
             }))
         finally:
