@@ -69,10 +69,18 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                     dtype=jnp.float32, k_block: int = 16,
                     iter_cap: int = 0, refit_iter_cap: int = 0,
                     fixed_iter: bool = False, split_solve: bool = False,
-                    refit_fixed: bool = False):
+                    refit_fixed: bool = False, q_cumsum: bool = False,
+                    _knockout: str | None = None):
     """The K-frame block step ((state, ring_ptr), (mag_blk, ls, ok)) ->
     ((state, ring_ptr), xm_tilde_seq) shared by the offline plan and the
     streaming session.
+
+    ``_knockout`` is an INSTRUMENTATION hook for the budget harness
+    (experiments/block_budget_r5.py), not a product knob: 'refit' skips
+    the per-block refit cond entirely, 'q' forces the Q=1 path, 'gain'
+    trivializes the per-frame gain chain (keeping data deps), 'solve1'
+    caps the H-solve at one trip.  Each keeps shapes/dependences so
+    stage cost = full - knockout (the r4/r5 knockout methodology).
 
     The carry's ``ring_ptr`` (see ``ring_ptr0``) is the circular write
     position of the two m_a-deep adaptation rings: pushes are O(F)
@@ -124,6 +132,8 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
     # the measured speed optimum (+6% headline).
     eff_max_iter = (min(cfg.nmf.max_iter, iter_cap) if iter_cap
                     else cfg.nmf.max_iter)
+    if _knockout == "solve1":
+        eff_max_iter = 1
     params = SnmfParams(
         beta=cfg.nmf.beta, sparsity=float(cfg.nmf.sparsity),
         max_iter=eff_max_iter, conv_eps=cfg.nmf.conv_eps, flr=1e-9,
@@ -177,7 +187,7 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         q_block_fn = make_block_sparsity_q_block(
             k_block, n_bins=s.n_bins, p_len_k=blk.p_len_k,
             p_len_l=blk.p_len_l, dc_bin=s.dc_bin, gap=blk.blk_gap,
-            alpha_p=blk.alpha_p)
+            alpha_p=blk.alpha_p, cumsum=q_cumsum)
     blk_kwargs = dict(n_bins=s.n_bins, p_len_k=blk.p_len_k,
                       p_len_l=blk.p_len_l, dc_bin=s.dc_bin, gap=blk.blk_gap,
                       alpha_p=blk.alpha_p, nonzerofloor=flr)
@@ -228,7 +238,7 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         # scan and run as banded-matrix GEMMs once per block
         # (blk_sparse.py); the local-SNR ring updates once per block in
         # shift layout.  gap < 3 computes Q per frame inside the scan.
-        if blk.enabled and not q_sequential:
+        if blk.enabled and not q_sequential and _knockout != "q":
             snr_blk = xm / jnp.maximum(dm, flr)              # (K, F)
             snr_blk = snr_blk / jnp.max(snr_blk, axis=1, keepdims=True)
             n_valid_blk = jnp.sum(ok_blk, dtype=jnp.int32)
@@ -256,19 +266,28 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                                               l, **blk_kwargs)
                 q_control = (1.0 - jnp.mean(q)) * ad.ar_up
             lambda_dav = jnp.where(l == 1, ym_dft, lambda_dav_c)
-            beta = jnp.clip(20.0 * jnp.log10(ad_mag / ax_mag) * en.beta,
-                            en.beta, en.beta_max)
-            lambda_dav = en.alpha_d * lambda_dav \
-                + (1 - en.alpha_d) * dm_hat * beta
-            if en.method == "Wiener":
-                gain = xm_hat / (xm_hat + dm_hat)
+            if _knockout == "gain":
+                # trivialized chain: keeps every input/carry dependence
+                # at ~zero VPU work
+                lambda_dav = lambda_dav + dm_hat * jnp.asarray(1e-9, dtype)
+                gain = jnp.minimum(
+                    xm_tilde_prev * jnp.asarray(1e-9, dtype)
+                    + q * jnp.asarray(1e-9, dtype) + 0.5, 1.0)
             else:
-                eta = (en.alpha_eta * xm_tilde_prev
-                       + (1 - en.alpha_eta) * xm_hat * q) \
-                    / jnp.maximum(lambda_dav, flr)
-                eta = jnp.maximum(en.eta_floor, eta)
-                gain = eta / (eta + 1.0)
-            gain = jnp.minimum(gain, 1.0)
+                beta = jnp.clip(
+                    20.0 * jnp.log10(ad_mag / ax_mag) * en.beta,
+                    en.beta, en.beta_max)
+                lambda_dav = en.alpha_d * lambda_dav \
+                    + (1 - en.alpha_d) * dm_hat * beta
+                if en.method == "Wiener":
+                    gain = xm_hat / (xm_hat + dm_hat)
+                else:
+                    eta = (en.alpha_eta * xm_tilde_prev
+                           + (1 - en.alpha_eta) * xm_hat * q) \
+                        / jnp.maximum(lambda_dav, flr)
+                    eta = jnp.maximum(en.eta_floor, eta)
+                    gain = eta / (eta + 1.0)
+                gain = jnp.minimum(gain, 1.0)
             in_init = l <= ad.init_n_len
             gain = jnp.where(in_init, jnp.full_like(gain, flr), gain)
             ax_mag = jnp.where(in_init, jnp.asarray(flr, dtype), ax_mag)
@@ -370,8 +389,11 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
             perm = jnp.argsort(r_up.astype(jnp.int32), stable=True)
             return merged[:, perm]
 
-        head_new = jax.lax.cond(any_trig, refit, lambda op: op[0],
-                                (state.b_d_head, lam_s, ad_s, r_up))
+        if _knockout == "refit":
+            head_new = state.b_d_head
+        else:
+            head_new = jax.lax.cond(any_trig, refit, lambda op: op[0],
+                                    (state.b_d_head, lam_s, ad_s, r_up))
         new_state = state._replace(
             b_d_head=head_new, lambda_dav=lambda_dav,
             xm_tilde=xm_tilde_last, r_blk=r_blk_new,
@@ -389,8 +411,10 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                             fixed_iter: bool = False,
                             split_solve: bool = False,
                             refit_fixed: bool = False,
+                            q_cumsum: bool = False,
                             dft_precision: str | None = None,
-                            idft_precision: str | None = None):
+                            idft_precision: str | None = None,
+                            _knockout: str | None = None):
     """Returns jitted run(frames (T,L), state0: EngineState, win) ->
     (y, state).
 
@@ -406,7 +430,9 @@ def make_block_adaptive_run(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                                  iter_cap, refit_iter_cap,
                                  fixed_iter=fixed_iter,
                                  split_solve=split_solve,
-                                 refit_fixed=refit_fixed)
+                                 refit_fixed=refit_fixed,
+                                 q_cumsum=q_cumsum,
+                                 _knockout=_knockout)
 
     @jax.jit
     def run(frames, state0, win_arr, t_valid):

@@ -40,7 +40,7 @@ class SnmfEnhancer:
                  dtype=jnp.float32, matlab_ad_blk_init: bool = True,
                  frame_bucket: int = 128, block_adapt: int = 0,
                  block_iter_cap: int = 0, warm_start: bool = False,
-                 dft_matmul: bool = False, block_refit_cap: int = 0,
+                 dft_matmul: bool = False, block_refit_cap: int = 0, block_q_cumsum: bool = False,
                  block_fixed_iter: bool = False,
                  block_split_solve: bool = False,
                  block_refit_fixed: bool = False,
@@ -107,6 +107,7 @@ class SnmfEnhancer:
                 self.cfg, b1_x, b1_d, b2_x, b2_d, dtype, block_adapt,
                 block_iter_cap, dft_matmul=self.dft_matmul,
                 refit_iter_cap=block_refit_cap,
+                q_cumsum=block_q_cumsum,
                 fixed_iter=block_fixed_iter,
                 split_solve=block_split_solve,
                 refit_fixed=block_refit_fixed,
