@@ -361,20 +361,43 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         keep = jnp.logical_and(trig_seq, rank >= n_trig - m_a)
         pos = jnp.where(keep, (ring_ptr + rank) % m_a,
                         jnp.asarray(m_a, jnp.int32))
-        lam_blk = state.lambda_d_blk.at[:, pos].set(
-            d_ref_seq.T, mode="drop", unique_indices=False)
-        ad_blk = state.ad_blk.at[:, pos].set(
-            a[r_x: r_x + r_a], mode="drop", unique_indices=False)
+        # ring push and chronological roll as ONE-HOT GEMMs at HIGHEST
+        # precision instead of scatter / dynamic roll (r5): the q-knockout
+        # budget put ~2.9 ms of the 14.2 ms call in this trigger/ring
+        # machinery, and TPU column scatters + dynamic gathers over the
+        # (F, m_a)/(r_a, m_a) rings are its cost.  A 0/1-selection matmul
+        # is VALUE-EXACT here even through the MXU *at HIGHEST*: each
+        # output column sums exactly one nonzero product a*1, and the
+        # 3-way bf16 split of a f32 (8+8+8 mantissa bits) recomposes a
+        # exactly while 1.0 is bf16-exact.  HIGH (2-way split) is NOT
+        # exact — measured corr moved .9957 -> .9960 on LM from the lost
+        # low bits perturbing the ring trajectory; HIGHEST restores the
+        # scatter form's values bit-for-bit at the same speed (these
+        # matmuls are ~5 MMAC, latency-bound either way).
+        slot = jnp.arange(m_a, dtype=jnp.int32)
+        onehot = (pos[:, None] == slot[None, :]).astype(dtype)   # (K, m_a)
+        written = jnp.any(pos[:, None] == slot[None, :], axis=0)
+        hi = jax.lax.Precision.HIGHEST
+        lam_blk = jnp.where(
+            written[None, :],
+            jnp.matmul(d_ref_seq.T, onehot, precision=hi),
+            state.lambda_d_blk)
+        ad_blk = jnp.where(
+            written[None, :],
+            jnp.matmul(a[r_x: r_x + r_a], onehot, precision=hi),
+            state.ad_blk)
         ptr_out = ((ring_ptr + n_trig) % m_a).astype(jnp.int32)
 
         # one refit per block if any VALID frame triggered (engine :287-346
         # with the last valid triggered frame's gate statistics).  The rings
         # roll back to chronological (shift) order first so the refit's
         # GEMM reductions see the exact column order of the shift
-        # implementation — results are bit-identical, and the roll is one
-        # O(F*m_a) gather per BLOCK instead of per-frame shifts.
-        lam_s = jnp.roll(lam_blk, -ptr_out, axis=1)
-        ad_s = jnp.roll(ad_blk, -ptr_out, axis=1)
+        # implementation — results are bit-identical; the roll is the same
+        # one-hot-GEMM trick (out[:, j] = ring[:, (j + ptr) % m_a]).
+        perm = (slot[:, None] == ((slot[None, :] + ptr_out) % m_a)
+                ).astype(dtype)                                  # (m_a, m_a)
+        lam_s = jnp.matmul(lam_blk, perm, precision=hi)
+        ad_s = jnp.matmul(ad_blk, perm, precision=hi)
         r_up = q_control * jnp.mean(ad_s, axis=1) > a_x_last
 
         def refit(op):
