@@ -1070,34 +1070,45 @@ def cmd_bench(args) -> int:
         speech, noise = load_reference_speech_noise(cfg.sep.r_d)
         x, fs = read_wav_int16(
             "/root/reference/wav/M03_423C0213_STR.CH6.wav")
-        gold, _ = read_wav_int16(
-            "/root/reference/wav/M03_423C0213_STR.CH6_out_v3.9_18.wav")
-        g = gold.astype(np.float64)
         devs = np.asarray(jax.devices())
         out = {"devices": len(devs)}
 
-        # ---- time-sharded full-waveform row (8 contiguous segments with
-        # halo warm-up) vs the sequential plan and the golden fixture
+        # ---- time-sharded full-waveform rows (8 contiguous segments with
+        # halo warm-up) vs the sequential plan and the golden fixtures.
+        # BOTH fixtures (r5): on the 347-frame M03 the default 384-frame
+        # halo clamps to full replay (corr_vs_sequential 1.0 — correct,
+        # degenerate); LM_in (~1770 frames) is the real sharded case the
+        # long-context plan exists for
         from se_snmf_nat_tpu.parallel.time_shard import enhance_time_sharded
         enh = SnmfEnhancer(cfg, speech.b_dft, noise.b_dft, speech.b_dft,
                            noise.b_dft, dtype=jnp.float32)
         mesh = Mesh(devs, ("data",))
-        y_seq = enh.enhance(x).astype(np.float64)
-        # default halo (384, r5): clears the 0.993 golden gate on both
-        # fixtures with >=.004 margin (sweep artifact in
-        # experiments/time_shard_halo_sweep_out.json + time_shard.py doc)
-        y_ts = enhance_time_sharded(enh, x, mesh).astype(np.float64)
-        n = min(len(y_ts), len(y_seq), len(g))
-        out["time_shard"] = {
-            "halo": 384, "shards": len(devs),
-            "corr_vs_sequential": round(
-                float(np.corrcoef(y_ts[:n], y_seq[:n])[0, 1]), 6),
-            "mean_abs_lsb_vs_sequential": round(
-                float(np.abs(y_ts[:n] - y_seq[:n]).mean()), 2),
-            "corr_vs_golden": round(
-                float(np.corrcoef(y_ts[:n], g[:n])[0, 1]), 4),
-            "lsd_db_vs_golden": round(
-                log_spectral_distance(g[:n], y_ts[:n], fs), 2)}
+        for fix, in_path, gold_path in (
+                ("time_shard", "/root/reference/wav/M03_423C0213_STR.CH6",
+                 None),
+                ("time_shard_LM", "/root/reference/wav/LM_in", None)):
+            xf, fsf = read_wav_int16(in_path + ".wav")
+            gf, _ = read_wav_int16(in_path + "_out_v3.9_18.wav")
+            gg = gf.astype(np.float64)
+            y_seq = enh.enhance(xf).astype(np.float64)
+            # default halo (384, r5): clears the 0.993 golden gate on both
+            # fixtures with >=.004 margin (sweep artifact in
+            # experiments/time_shard_halo_sweep_out.json + time_shard.py)
+            y_ts = enhance_time_sharded(enh, xf, mesh).astype(np.float64)
+            n = min(len(y_ts), len(y_seq), len(gg))
+            out[fix] = {
+                "halo": 384, "shards": len(devs),
+                "corr_vs_sequential": round(
+                    float(np.corrcoef(y_ts[:n], y_seq[:n])[0, 1]), 6),
+                "mean_abs_lsb_vs_sequential": round(
+                    float(np.abs(y_ts[:n] - y_seq[:n]).mean()), 2),
+                "corr_vs_golden": round(
+                    float(np.corrcoef(y_ts[:n], gg[:n])[0, 1]), 4),
+                "lsd_db_vs_golden": round(
+                    log_spectral_distance(gg[:n], y_ts[:n], fsf), 2)}
+        g = read_wav_int16(
+            "/root/reference/wav/M03_423C0213_STR.CH6_out_v3.9_18.wav"
+            )[0].astype(np.float64)
 
         # ---- tensor-parallel H-solve row: the production-shape solve on
         # the REAL M03 spectrogram, 8-way model-sharded vs unsharded;
