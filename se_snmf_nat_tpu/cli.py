@@ -355,11 +355,31 @@ def cmd_demo(args) -> int:
             for i in range(0, len(x_file) - hop + 1, hop):
                 yield x_file[i: i + hop]
 
+    # --play: the SE_GUI playback surface (SE_GUI.m:533-566 file replay /
+    # soundsc) as a headless analog — enhanced hops stream to the default
+    # audio device via the same optional sounddevice dependency the mic
+    # path uses (io/capture.py); without it, --pcm-out piped to any OS
+    # player (aplay, ffplay) is the documented route
+    _player = None
+    if getattr(args, "play", False):
+        try:
+            import sounddevice as _sd
+        except Exception as e:
+            raise SystemExit(
+                "--play needs the optional 'sounddevice' dependency "
+                "(PortAudio); pipe --pcm-out into an OS player instead: "
+                f"{e}")
+        _player = _sd.OutputStream(samplerate=fs, channels=1,
+                                   dtype="int16")
+        _player.start()
+
     def emit(y):
         if args.pcm_out and len(y):
             sys.stdout.buffer.write(
                 np.asarray(y, np.int16).astype("<i2").tobytes())
             sys.stdout.buffer.flush()
+        if _player is not None and len(y):
+            _player.write(np.ascontiguousarray(y, np.int16))
 
     # retain full waveforms only when something at session end needs them
     # (wav write / plots / ascii spectrogram, or a finite file input whose
@@ -1787,6 +1807,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="print an ASCII spectrogram of the output")
     dm.add_argument("--live-rate", type=int, default=16000,
                     help="sample rate for '-' (stdin raw int16 PCM) input")
+    dm.add_argument("--play", action="store_true",
+                    help="play enhanced audio on the default output "
+                         "device (optional sounddevice dependency; the "
+                         "SE_GUI.m:533-566 replay/soundsc analog)")
     dm.add_argument("--pcm-out", action="store_true",
                     help="stream enhanced raw int16 PCM to stdout "
                          "(telemetry JSON moves to stderr)")

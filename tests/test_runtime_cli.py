@@ -548,3 +548,28 @@ def test_batchrunner_multichannel_grouping(tmp_path):
     for bad in ({"ch": 0}, {"ch": 2, "filegap": 0}):
         with pytest.raises(ValueError):
             BatchRunner(enh, verbose=False).run(db, out, **bad)
+
+
+def test_demo_play_without_sounddevice_exits_clearly(tmp_path, monkeypatch):
+    """--play (the SE_GUI replay/soundsc analog) must fail with a clear
+    message when the optional sounddevice dependency is absent, BEFORE
+    any audio is processed."""
+    import builtins
+    import sys as _sys
+
+    from se_snmf_nat_tpu.cli import main
+    from se_snmf_nat_tpu.io.wavio import write_wav_int16
+
+    wav = tmp_path / "in.wav"
+    write_wav_int16(wav, np.zeros(1600, np.int16), 16000)
+    real_import = builtins.__import__
+
+    def fake_import(name, *a, **k):
+        if name == "sounddevice":
+            raise ImportError("no portaudio")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", fake_import)
+    monkeypatch.delitem(_sys.modules, "sounddevice", raising=False)
+    with pytest.raises(SystemExit, match="sounddevice"):
+        main(["demo", str(wav), "--play"])
