@@ -528,10 +528,13 @@ def pmwf_streaming_enhance(x: np.ndarray, cfg: PipelineConfig | None = None,
                            params: PmwfParams | None = None,
                            dtype=jnp.float32, quantize: bool = True,
                            state: PmwfStreamState | None = None,
-                           return_state: bool = False):
+                           return_state: bool = False,
+                           fast: bool = False):
     """Offline convenience wrapper of the STREAMING semantics on one
     (C, n) utterance — frames exactly like PmwfEnhancer.enhance and trims
-    the same delay."""
+    the same delay.  ``fast=True`` selects the whole-utterance batched
+    plan (``make_pmwf_streaming_run_fast`` — ~7x on-device at identical
+    x64 post-write output; see the budget notes there)."""
     cfg = cfg or default_config()
     params = params or PmwfParams()
     s = cfg.signal
@@ -539,7 +542,8 @@ def pmwf_streaming_enhance(x: np.ndarray, cfg: PipelineConfig | None = None,
     frames = np.stack([
         stream_frames(ch, s.framelength, s.frameshift,
                       n_flush=cfg.delay + 1) for ch in x])
-    run = make_pmwf_streaming_run(cfg, params, dtype)
+    run = (make_pmwf_streaming_run_fast if fast
+           else make_pmwf_streaming_run)(cfg, params, dtype)
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     st0 = state if state is not None else pmwf_stream_init(
         params, x.shape[0], s.n_bins, cdtype)

@@ -342,3 +342,13 @@ def test_fast_plan_f32_finite_and_close(mix):
     assert np.isfinite(y_g).all()
     c = np.corrcoef(y_w.ravel(), y_g.ravel())[0, 1]
     assert c > 0.9999, c
+
+
+def test_streaming_enhance_fast_flag(mix):
+    """pmwf_streaming_enhance(fast=True) routes through the batched plan
+    and matches the scan plan's int16 output at x64."""
+    x, _ = mix
+    x = x[:, :9600]
+    a = pmwf_streaming_enhance(x, dtype=jnp.float64)
+    b = pmwf_streaming_enhance(x, dtype=jnp.float64, fast=True)
+    np.testing.assert_array_equal(a, b)
