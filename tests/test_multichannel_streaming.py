@@ -352,3 +352,20 @@ def test_streaming_enhance_fast_flag(mix):
     a = pmwf_streaming_enhance(x, dtype=jnp.float64)
     b = pmwf_streaming_enhance(x, dtype=jnp.float64, fast=True)
     np.testing.assert_array_equal(a, b)
+
+
+def test_ntf_push_blocks_matches_per_block(mix):
+    """push_blocks (one scan dispatch) == repeated push_block, bit-for-bit
+    including the carried state."""
+    x, _ = mix
+    rng = np.random.default_rng(0)
+    b = np.abs(rng.random((513, 40))) + 1e-3
+    blks = np.abs(rng.random((6, C, 513, 16))) + 1e-3
+    s1 = NtfStreamingSession(b, C, dtype=jnp.float64)
+    outs1 = np.stack([s1.push_block(blk) for blk in blks])
+    s2 = NtfStreamingSession(b, C, dtype=jnp.float64)
+    outs2 = s2.push_blocks(blks)
+    np.testing.assert_array_equal(outs2, outs1)
+    np.testing.assert_array_equal(np.asarray(s2.state.c),
+                                  np.asarray(s1.state.c))
+    assert int(s2.state.l) == int(s1.state.l) == 6
