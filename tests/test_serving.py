@@ -414,3 +414,20 @@ def test_serving_product_path_mechanics(enh):
     assert [r["total_streams"] for r in rep["table"]] == [2, 4]
     assert all(r["tick_ms"] > 0 for r in rep["table"])
     assert rep["pipeline_ticks"] is True
+
+
+@pytest.mark.slow
+def test_sharded_fleet_block_adaptive_matches_single(enh, m03_wav):
+    """ShardedFleet with the block-adaptive step (frames wire) equals the
+    unsharded block-adaptive fleet — the throughput serving mode also
+    shards."""
+    from se_snmf_nat_tpu.stream.serving import ShardedFleet
+
+    xs = _lanes(m03_wav, 4, 12000)
+    ref = MultiStreamSession(enh, 4, block_frames=8,
+                             use_block_adaptive=True)
+    w = np.concatenate([ref.push(xs), ref.flush()], axis=1)
+    fleet = ShardedFleet(enh, 4, sub_fleets=2, block_frames=8,
+                         use_block_adaptive=True)
+    g = np.concatenate([fleet.push(xs), fleet.flush()], axis=1)
+    np.testing.assert_array_equal(g, w)
