@@ -77,9 +77,13 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
 
     ``_knockout`` is an INSTRUMENTATION hook for the budget harness
     (experiments/block_budget_r5.py), not a product knob: 'refit' skips
-    the per-block refit cond entirely, 'q' forces the Q=1 path, 'gain'
-    trivializes the per-frame gain chain (keeping data deps), 'solve1'
-    caps the H-solve at one trip.  Each keeps shapes/dependences so
+    the per-block refit cond entirely, 'q' forces the Q=1 path (which
+    constant-folds the triggers off, eliminating the ring/refit machinery
+    downstream — it measures the whole trigger complex, not the Q stat),
+    'gain' trivializes the per-frame gain chain (keeping data deps),
+    'solve1' caps the H-solve at one trip, 'rings' skips the ring
+    push/roll (refit consumes the stale carried ring — isolates the ring
+    HBM + selection-GEMM cost with triggers/refit still live).  Each keeps shapes/dependences so
     stage cost = full - knockout (the r4/r5 knockout methodology).
 
     The carry's ``ring_ptr`` (see ``ring_ptr0``) is the circular write
@@ -378,14 +382,21 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
         onehot = (pos[:, None] == slot[None, :]).astype(dtype)   # (K, m_a)
         written = jnp.any(pos[:, None] == slot[None, :], axis=0)
         hi = jax.lax.Precision.HIGHEST
-        lam_blk = jnp.where(
-            written[None, :],
-            jnp.matmul(d_ref_seq.T, onehot, precision=hi),
-            state.lambda_d_blk)
-        ad_blk = jnp.where(
-            written[None, :],
-            jnp.matmul(a[r_x: r_x + r_a], onehot, precision=hi),
-            state.ad_blk)
+        if _knockout == "rings":
+            # skip the pushes at COMPILE time (a traced all-False where
+            # would still execute the GEMMs): refit consumes the stale
+            # carried ring, isolating the push machinery's cost
+            lam_blk = state.lambda_d_blk
+            ad_blk = state.ad_blk
+        else:
+            lam_blk = jnp.where(
+                written[None, :],
+                jnp.matmul(d_ref_seq.T, onehot, precision=hi),
+                state.lambda_d_blk)
+            ad_blk = jnp.where(
+                written[None, :],
+                jnp.matmul(a[r_x: r_x + r_a], onehot, precision=hi),
+                state.ad_blk)
         ptr_out = ((ring_ptr + n_trig) % m_a).astype(jnp.int32)
 
         # one refit per block if any VALID frame triggered (engine :287-346
