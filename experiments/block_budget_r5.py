@@ -37,7 +37,7 @@ audio_s = B * len(x) / fs
 
 out = {"plan": {k: v for k, v in plan.items()}, "batch": B,
        "frames_padded": int(frames.shape[0])}
-for mode in (None, "refit", "q", "gain", "solve1", "rings"):
+for mode in (None, "refit", "q", "gain", "solve1", "rings", "noscan"):
     run = make_block_adaptive_run(
         cfg, speech.b_dft, noise.b_dft, speech.b_dft, noise.b_dft,
         jnp.float32, plan["block_adapt"], plan["block_iter_cap"],
@@ -65,7 +65,7 @@ for mode in (None, "refit", "q", "gain", "solve1", "rings"):
 
 full = out["full"]["call_ms"]
 out["stage_ms"] = {k: round(full - out[k]["call_ms"], 2)
-                   for k in ("refit", "q", "gain", "solve1", "rings")}
+                   for k in ("refit", "q", "gain", "solve1", "rings", "noscan")}
 print(json.dumps(out, indent=1))
 with open("experiments/block_budget_r5_out.json", "w") as f:
     json.dump(out, f, indent=1)

@@ -83,7 +83,10 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
     'gain' trivializes the per-frame gain chain (keeping data deps),
     'solve1' caps the H-solve at one trip, 'rings' skips the ring
     push/roll (refit consumes the stale carried ring — isolates the ring
-    HBM + selection-GEMM cost with triggers/refit still live).  Each keeps shapes/dependences so
+    HBM + selection-GEMM cost with triggers/refit still live), 'noscan'
+    replaces the per-frame gain scan with batched stand-ins (no lax.scan
+    at all — isolates the 88-step scan STRUCTURE cost, which the 'gain'
+    knockout cannot see because it keeps the step count).  Each keeps shapes/dependences so
     stage cost = full - knockout (the r4/r5 knockout methodology).
 
     The carry's ``ring_ptr`` (see ``ring_ptr0``) is the circular write
@@ -330,23 +333,39 @@ def make_block_step(cfg: PipelineConfig, b1_x, b1_d, b2_x, b2_d,
                           any_refit | do_solve, qctl_last, ax_last)
             return new_carry, (out, d_ref, trig)
 
-        carry0 = (state.lambda_dav, state.xm_tilde)
-        if q_sequential:
-            carry0 += (state.r_blk,)
-        carry0 += (state.update_switch,
-                   jnp.asarray(False), jnp.asarray(0.0, dtype),
-                   jnp.asarray(float(flr), dtype))
-        carry_out, (xm_tilde_seq, d_ref_seq, trig_seq) = jax.lax.scan(
-            frame_step, carry0,
-            (mag_blk, ym_dft_blk, xm, dm, a.T, a_d_mag, a_x_mag, ls,
-             ok_blk, q_blk, qc_blk))
-        if q_sequential:
-            (lambda_dav, xm_tilde_last, r_blk_new, switch_out,
-             any_trig, q_control, a_x_last) = carry_out
+        if _knockout == "noscan":
+            # no frame scan at all: batched stand-ins with the data deps
+            # kept (outputs touch mag/xm/dm/q; trig touches qc/ok)
+            tiny = jnp.asarray(1e-9, dtype)
+            xm_tilde_seq = 0.5 * mag_blk + tiny * (xm + dm + q_blk)
+            d_ref_seq = 0.5 * mag_blk
+            trig_seq = jnp.logical_and(ok_blk, qc_blk > 0)
+            lambda_dav = state.lambda_dav + tiny * jnp.sum(xm_tilde_seq)
+            xm_tilde_last = xm_tilde_seq[-1]
+            switch_out = state.update_switch
+            any_trig = jnp.any(trig_seq)
+            q_control = qc_blk[-1]
+            a_x_last = a_x_mag[-1] if False else jnp.asarray(
+                float(flr), dtype)
+            r_blk_new = r_blk_batched if not q_sequential else state.r_blk
         else:
-            (lambda_dav, xm_tilde_last, switch_out,
-             any_trig, q_control, a_x_last) = carry_out
-            r_blk_new = r_blk_batched
+            carry0 = (state.lambda_dav, state.xm_tilde)
+            if q_sequential:
+                carry0 += (state.r_blk,)
+            carry0 += (state.update_switch,
+                       jnp.asarray(False), jnp.asarray(0.0, dtype),
+                       jnp.asarray(float(flr), dtype))
+            carry_out, (xm_tilde_seq, d_ref_seq, trig_seq) = jax.lax.scan(
+                frame_step, carry0,
+                (mag_blk, ym_dft_blk, xm, dm, a.T, a_d_mag, a_x_mag, ls,
+                 ok_blk, q_blk, qc_blk))
+            if q_sequential:
+                (lambda_dav, xm_tilde_last, r_blk_new, switch_out,
+                 any_trig, q_control, a_x_last) = carry_out
+            else:
+                (lambda_dav, xm_tilde_last, switch_out,
+                 any_trig, q_control, a_x_last) = carry_out
+                r_blk_new = r_blk_batched
 
         # bulk circular-ring push: the j-th triggered frame of the block
         # lands in slot (ptr + j) % m_a — the same chronological slot the
