@@ -526,3 +526,37 @@ def test_splice_branch_guard_fires(reference_bases):
         bad = cfg.evolve(sep=replace(cfg.sep, **sep_kw))
         with pytest.raises(NotImplementedError):
             _enhancer(bad, reference_bases, jnp.float64)
+
+
+def test_paired_dispatch_outputs_bit_identical(reference_bases, short_clip):
+    """The bench's pair-dispatch program (two B-batches inside one jit —
+    bench.py r5) must produce the same bytes as two single dispatches:
+    batches are independent, so jit composition may not change values."""
+    import jax
+
+    cfg = default_config()
+    enh = SnmfEnhancer(cfg, reference_bases[0].b_dft,
+                       reference_bases[1].b_dft, reference_bases[0].b_dft,
+                       reference_bases[1].b_dft, dtype=jnp.float64,
+                       block_adapt=16, frame_bucket=16)
+    frames = enh._pad_frames(enh.frames_for(short_clip))
+    t_true = enh.frames_for(short_clip).shape[0]
+    b = 3
+    batch = jnp.asarray(np.stack([frames] * b), jnp.float64)
+    states = jax.tree.map(lambda a: jnp.broadcast_to(a, (b,) + a.shape),
+                          enh.initial_state())
+    tv = jnp.full((b,), t_true, jnp.int32)
+
+    @jax.jit
+    def run_pair(stack, states, win, tv):
+        outs = []
+        for i in range(2):
+            y, _ = enh._block_run_batch(stack[i], states, win, tv)
+            outs.append(y)
+        return jnp.stack(outs)
+
+    stack = jnp.stack([batch, batch * jnp.float64(1.0001)])
+    got = run_pair(stack, states, enh.win, tv)
+    for i in range(2):
+        want, _ = enh._block_run_batch(stack[i], states, enh.win, tv)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want))
