@@ -572,7 +572,7 @@ class ShardedFleet:
     block deadline.  The cliff is a working-set property of the one fused
     program, not of the chip: N sub-fleet programs at a good lane count
     (e.g. 4 x 80) each keep the fast tiling and together clear the
-    deadline (measured 4x80 = 320 streams, 77.4/80 ms).  This class ships
+    deadline (measured 4x80 = 320 streams, 78.8/80 ms — SERVING_r05).  This class ships
     that deployment shape: global lanes [i*b, (i+1)*b) live in shard i,
     every shard shares ONE compiled tick executable (identical shapes),
     and a fleet tick dispatches all shards back-to-back.
